@@ -1,0 +1,59 @@
+"""Learned Metric Index, TPU-native.
+
+A from-scratch JAX/XLA/Pallas re-design of the Learned Metric Index
+(reference: Coda-Research-Group/LearnedMetricIndex) — an index for
+approximate nearest-neighbor search over dense embeddings:
+
+* build  = recursively partition the dataset with k-means, then train a
+  small MLP per internal node to imitate that partitioning
+  (reference: ``search/li/LearnedIndexBuilder.py:43-107``),
+* query  = run queries through the MLP tree to rank leaf buckets by
+  probability, scan the ``n_buckets`` best buckets with exact
+  inner-product kNN, and merge (reference: ``search/li/LearnedIndex.py:41-161``).
+
+The TPU design differs structurally from the reference:
+
+* buckets live in a chunked, padded, device-resident store
+  (:mod:`learnedmetricindex_tpu.index.bucket_store`) instead of pandas
+  groupby scans;
+* all per-node MLPs of a level are trained *concurrently* as one stacked
+  (vmapped) parameter pytree instead of a sequential Python loop;
+* navigation precomputes every node's probabilities in batched matmuls
+  and replays the reference's best-first traversal as a vectorized
+  array state machine;
+* the bucket scan is a flat (query, chunk) work list executed by an MXU
+  matmul + fused top-k kernel, sharded across a ``jax.sharding.Mesh``.
+"""
+
+from learnedmetricindex_tpu.config import BuildConfiguration, ModelParameters
+
+__version__ = "0.1.0"
+
+_LAZY = {
+    "Baseline": ("learnedmetricindex_tpu.baseline", "Baseline"),
+    "LearnedIndexBuilder": (
+        "learnedmetricindex_tpu.index.builder",
+        "LearnedIndexBuilder",
+    ),
+    "LearnedIndex": ("learnedmetricindex_tpu.index.index", "LearnedIndex"),
+}
+
+
+def __getattr__(name):
+    # Lazy so that importing the package does not pull jax-heavy modules
+    # (keeps CLI --help fast and avoids import cycles).
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(name)
+
+__all__ = [
+    "BuildConfiguration",
+    "ModelParameters",
+    "Baseline",
+    "LearnedIndexBuilder",
+    "LearnedIndex",
+    "__version__",
+]

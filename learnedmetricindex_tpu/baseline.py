@@ -1,0 +1,36 @@
+"""Brute-force baseline index.
+
+Same API as the reference ``Baseline`` (``search/li/Baseline.py:11-21``):
+``build()`` is a no-op, ``search`` does exact cosine-distance kNN and
+returns 1-based neighbor ids — but here it is one tiled device matmul +
+``lax.top_k`` instead of a full ``sklearn`` n×q matrix on the host.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from learnedmetricindex_tpu.ops.knn import exact_knn
+from learnedmetricindex_tpu.utils.logging import Logger
+from learnedmetricindex_tpu.data import normalize
+
+
+class Baseline(Logger):
+    def build(self, data) -> float:
+        s = time.perf_counter()
+        self.logger.info("No build step for the brute-force baseline.")
+        return time.perf_counter() - s
+
+    def search(self, queries, data, k: int = 10):
+        """Exact cosine kNN; returns ``(dists, nns 1-based, seconds)``
+        (cf. ``Baseline.search``, ``search/li/Baseline.py:11-16``)."""
+        s = time.perf_counter()
+        dists, nns = exact_knn(
+            normalize(np.asarray(data)),
+            normalize(np.asarray(queries)),
+            k=k,
+            metric="cosine",
+        )
+        return dists, nns, time.perf_counter() - s

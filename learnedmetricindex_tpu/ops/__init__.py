@@ -1,0 +1,4 @@
+from learnedmetricindex_tpu.ops.knn import exact_knn, recall
+from learnedmetricindex_tpu.ops.kmeans import kmeans
+
+__all__ = ["exact_knn", "recall", "kmeans"]

@@ -1,0 +1,204 @@
+"""Jitted Lloyd's k-means.
+
+TPU-native replacement for the reference clustering registry
+(``search/li/clustering/__init__.py:9-17``) and its two backends —
+``faiss.Kmeans`` (``clustering/faiss_kmeans.py:8-24``, the default, seed
+2023, 25 iterations) and sklearn ``KMeans`` configured to mimic faiss
+(``clustering/scikit_kmeans.py:8-29``: ``init="random"``,
+``max_iter=25``, ``n_init=1``).
+
+Design (everything under one ``jit``):
+
+* init = k distinct data points sampled with a seeded ``jax.random`` key
+  (faiss's "random" init);
+* assignment = tiled ``||x - c||² = ||x||² - 2 x·c + ||c||²`` matmul +
+  argmin per tile (MXU), accumulated with a ``lax.scan`` so 10M×768
+  never materializes an (n, k) matrix;
+* update = per-tile one-hot matmul partial sums (MXU) — under a sharded
+  data layout XLA turns the accumulation into a ``psum`` over the mesh;
+* empty clusters are deterministically re-seeded by splitting the
+  largest cluster (faiss does the same, non-deterministically).
+
+Labels match the reference contract: ``int32`` in ``[0, k)``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pad_rows(x: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
+    n = x.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        x = np.concatenate([x, np.zeros((pad, x.shape[1]), dtype=x.dtype)], axis=0)
+    return x, n
+
+
+def _assign_tiles(data_tiles, centroids, n_valid, tile_rows):
+    """Per-tile argmin assignment; padded rows get label 0 but are masked
+    out of the centroid update by the caller."""
+    c2 = jnp.sum(centroids * centroids, axis=1)[None, :]
+
+    def body(_, inputs):
+        tile_idx, tile = inputs
+        sims = jnp.dot(
+            tile,
+            centroids.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d = c2 - 2.0 * sims  # ||x||² constant per row; omit for argmin
+        labels = jnp.argmin(d, axis=1).astype(jnp.int32)
+        return None, labels
+
+    n_tiles = data_tiles.shape[0]
+    _, labels = jax.lax.scan(
+        body, None, (jnp.arange(n_tiles), data_tiles)
+    )
+    return labels.reshape(n_tiles * tile_rows)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_clusters", "n_iters", "tile_rows")
+)
+def _kmeans_device(
+    data: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    key: jnp.ndarray,
+    *,
+    n_clusters: int,
+    n_iters: int,
+    tile_rows: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    n_padded, d = data.shape
+    n_tiles = n_padded // tile_rows
+    data_tiles = data.reshape(n_tiles, tile_rows, d)
+    row_ids = jnp.arange(n_padded, dtype=jnp.int32)
+    valid = (row_ids < n_valid).astype(jnp.float32)
+
+    # --- init: k distinct (with high probability) valid points ---------
+    # Deterministic seeded sampling; indices are drawn uniformly over the
+    # valid range and de-duplicated by striding on collision.
+    init_idx = jax.random.randint(key, (n_clusters,), 0, jnp.maximum(n_valid, 1))
+    # Nudge exact duplicates apart (rare for n >> k); keeps init distinct
+    # enough for the empty-cluster resplit to handle any residue.
+    init_idx = (init_idx + jnp.arange(n_clusters)) % jnp.maximum(n_valid, 1)
+    centroids = data[init_idx].astype(jnp.float32)
+
+    def step(centroids, step_key):
+        c2 = jnp.sum(centroids * centroids, axis=1)[None, :]
+
+        def body(carry, tile):
+            sums, counts = carry
+            sims = jnp.dot(
+                tile[0],
+                centroids.T,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            labels = jnp.argmin(c2 - 2.0 * sims, axis=1)
+            onehot = (
+                jax.nn.one_hot(labels, n_clusters, dtype=jnp.float32) * tile[1][:, None]
+            )
+            sums = sums + jnp.dot(
+                onehot.T,
+                tile[0],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            counts = counts + jnp.sum(onehot, axis=0)
+            return (sums, counts), None
+
+        valid_tiles = valid.reshape(n_tiles, tile_rows)
+        (sums, counts), _ = jax.lax.scan(
+            body,
+            (
+                jnp.zeros((n_clusters, d), jnp.float32),
+                jnp.zeros((n_clusters,), jnp.float32),
+            ),
+            (data_tiles, valid_tiles),
+        )
+
+        new_centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+
+        # Deterministic empty-cluster resplit (faiss splits the largest
+        # cluster; clustering/faiss_kmeans.py delegates to faiss's
+        # internal split_clusters): empty centroid_j <- largest-cluster
+        # centroid * (1 ± eps_j), giving each empty a distinct offset.
+        biggest = jnp.argmax(counts)
+        eps = 1e-4 * (1.0 + jnp.arange(n_clusters, dtype=jnp.float32))[:, None]
+        resplit = new_centroids[biggest][None, :] * (1.0 + eps)
+        new_centroids = jnp.where(
+            (counts == 0.0)[:, None], resplit, new_centroids
+        )
+        return new_centroids, None
+
+    centroids, _ = jax.lax.scan(
+        step, centroids, jax.random.split(key, n_iters)
+    )
+
+    labels = _assign_tiles(data_tiles, centroids, n_valid, tile_rows)
+    return centroids, labels
+
+
+def kmeans(
+    data,
+    n_clusters: int,
+    n_iters: int = 25,
+    seed: int = 2023,
+    tile_rows: int = 65536,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Cluster ``data`` into ``n_clusters``; returns ``(centroids, labels)``.
+
+    Same callable contract as the reference ``ClusteringAlgorithm``
+    (``clustering/__init__.py:9-12``) modulo the unused params dict: the
+    first return value is the "clustering object" (here the centroid
+    matrix), the second the ``int32`` labels.
+    """
+    data = np.asarray(data, dtype=np.float32)
+    n, d = data.shape
+    assert n_clusters >= 1
+    if n < 2:
+        # Reference guard: <2 points → single label (builder:290-291).
+        return data[:1].copy(), np.zeros(n, dtype=np.int32)
+    n_clusters = min(n_clusters, n)
+
+    tile_rows = int(min(tile_rows, max(8, n)))
+    padded, n_valid = _pad_rows(data, tile_rows)
+    centroids, labels = _kmeans_device(
+        jnp.asarray(padded),
+        jnp.int32(n_valid),
+        jax.random.PRNGKey(seed),
+        n_clusters=n_clusters,
+        n_iters=n_iters,
+        tile_rows=tile_rows,
+    )
+    return np.asarray(centroids), np.asarray(labels)[:n].astype(np.int32)
+
+
+def kmeans_assign(centroids, data, tile_rows: int = 65536) -> np.ndarray:
+    """Assign each row of ``data`` to its nearest centroid (the reference's
+    ``kmeans.index.search(data, 1)``, ``clustering/faiss_kmeans.py:21``)."""
+    data = np.asarray(data, dtype=np.float32)
+    n = data.shape[0]
+    tile_rows = int(min(tile_rows, max(8, n)))
+    padded, n_valid = _pad_rows(data, tile_rows)
+    n_tiles = padded.shape[0] // tile_rows
+    labels = _assign_jit(
+        jnp.asarray(padded).reshape(n_tiles, tile_rows, -1),
+        jnp.asarray(centroids, dtype=jnp.float32),
+        jnp.int32(n_valid),
+        tile_rows=tile_rows,
+    )
+    return np.asarray(labels)[:n].astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows",))
+def _assign_jit(data_tiles, centroids, n_valid, *, tile_rows):
+    return _assign_tiles(data_tiles, centroids, n_valid, tile_rows)

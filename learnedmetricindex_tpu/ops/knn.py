@@ -1,0 +1,141 @@
+"""Exact brute-force kNN and the recall metric.
+
+This is the correctness oracle of the framework: one tiled MXU matmul +
+``lax.top_k`` per data tile, replacing the reference's two exact paths —
+``sklearn`` cosine over the full matrix (``search/li/Baseline.py:11-16``,
+``search/li/utils.py:10-11``) and ``faiss.knn`` with
+``METRIC_INNER_PRODUCT`` inside bucket scans
+(``search/li/LearnedIndex.py:360-368``).
+
+Distance convention follows the reference exactly: ``dist = 1 - <q, x>``
+on L2-normalized vectors (``LearnedIndex.py:368``), and neighbor ids are
+**1-based** ``uint32`` (``search/search.py:190-191``).
+
+The recall definition matches the SISAP evaluator as replicated in the
+reference notebook (``01-Introduction.ipynb`` cell 31):
+``mean over queries of |top-k ∩ gt-k| / k``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+METRICS = ("inner_product", "cosine", "l2")
+
+
+def _dist_tile(queries: jnp.ndarray, tile: jnp.ndarray, metric: str) -> jnp.ndarray:
+    """Distance block (n_queries, tile_rows); smaller = closer for all metrics.
+
+    Full f32 precision: this is the correctness oracle, and on TPU the
+    default matmul precision is bf16 passes (±2e-3 on unit vectors),
+    enough to permute near-tied neighbors.
+    """
+    sims = jnp.dot(
+        queries,
+        tile.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if metric in ("inner_product", "cosine"):
+        return 1.0 - sims
+    if metric == "l2":
+        q2 = jnp.sum(queries * queries, axis=1, keepdims=True)
+        x2 = jnp.sum(tile * tile, axis=1)[None, :]
+        return q2 - 2.0 * sims + x2
+    raise ValueError(f"Unknown metric: {metric}")
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_rows", "metric"))
+def _exact_knn_device(
+    data: jnp.ndarray,
+    queries: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    *,
+    k: int,
+    tile_rows: int,
+    metric: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tiled exact kNN.  ``data`` must be pre-padded to a multiple of
+    ``tile_rows``; rows with index >= ``n_valid`` are masked to +inf."""
+    n = data.shape[0]
+    n_tiles = n // tile_rows
+    data_tiles = data.reshape(n_tiles, tile_rows, data.shape[1])
+
+    init_dists = jnp.full((queries.shape[0], k), jnp.inf, dtype=jnp.float32)
+    init_ids = jnp.zeros((queries.shape[0], k), dtype=jnp.int32)
+
+    def body(carry, inputs):
+        best_d, best_i = carry
+        tile_idx, tile = inputs
+        d = _dist_tile(queries, tile, metric)
+        ids = tile_idx * tile_rows + jax.lax.broadcasted_iota(
+            jnp.int32, d.shape, dimension=1
+        )
+        d = jnp.where(ids >= n_valid, jnp.inf, d)
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate([best_i, ids], axis=1)
+        # top_k over negated distances; top_k is stable, so the running
+        # best (placed first) wins ties — earlier tiles take precedence,
+        # matching the reference's stable merge (LearnedIndex.py:134).
+        neg_d, pos = jax.lax.top_k(-cat_d, k)
+        return (-neg_d, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    (dists, ids), _ = jax.lax.scan(
+        body, (init_dists, init_ids), (jnp.arange(n_tiles), data_tiles)
+    )
+    return dists, ids
+
+
+def exact_knn(
+    data,
+    queries,
+    k: int = 10,
+    metric: str = "inner_product",
+    tile_rows: int = 8192,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact k-nearest-neighbor search.
+
+    Returns ``(dists (n_q, k) float32, ids (n_q, k) uint32 1-based)``,
+    sorted ascending by distance, ties broken toward smaller row index.
+    """
+    assert metric in METRICS
+    data = np.asarray(data, dtype=np.float32)
+    queries = np.asarray(queries, dtype=np.float32)
+    n, d = data.shape
+    assert k >= 1 and queries.shape[1] == d
+
+    tile_rows = int(min(tile_rows, max(8, n)))
+    pad = (-n) % tile_rows
+    if pad:
+        data_padded = np.concatenate(
+            [data, np.zeros((pad, d), dtype=np.float32)], axis=0
+        )
+    else:
+        data_padded = data
+
+    dists, ids = _exact_knn_device(
+        jnp.asarray(data_padded),
+        jnp.asarray(queries),
+        jnp.int32(n),
+        k=k,
+        tile_rows=tile_rows,
+        metric=metric,
+    )
+    return np.asarray(dists), (np.asarray(ids) + 1).astype(np.uint32)
+
+
+def recall(nns, gt_nns, k: int = 10) -> float:
+    """SISAP recall: mean over queries of ``|top-k ∩ gt-k| / k``
+    (cf. reference ``01-Introduction.ipynb`` cell 31)."""
+    nns = np.asarray(nns)[:, :k]
+    gt = np.asarray(gt_nns)[:, :k]
+    assert nns.shape[0] == gt.shape[0]
+    hits = 0
+    for row, gt_row in zip(nns, gt):
+        hits += len(np.intersect1d(row, gt_row))
+    return hits / (nns.shape[0] * k)

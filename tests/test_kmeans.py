@@ -1,0 +1,60 @@
+"""Jitted k-means vs behavioral contract of the reference clustering
+registry (labels in [0, k), determinism, quality on separable blobs)."""
+
+import numpy as np
+
+from learnedmetricindex_tpu.data import synthetic_blobs
+from learnedmetricindex_tpu.ops.kmeans import kmeans, kmeans_assign
+
+
+def test_labels_contract():
+    data, _ = synthetic_blobs(400, 16, 1, n_clusters=4, seed=11)
+    centroids, labels = kmeans(data, 4, tile_rows=128)
+    assert labels.dtype == np.int32
+    assert labels.shape == (400,)
+    assert labels.min() >= 0 and labels.max() < 4
+    assert centroids.shape == (4, 16)
+
+
+def test_deterministic():
+    data, _ = synthetic_blobs(300, 8, 1, n_clusters=3, seed=5)
+    c1, l1 = kmeans(data, 3, seed=2023)
+    c2, l2 = kmeans(data, 3, seed=2023)
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_allclose(c1, c2)
+
+
+def test_separable_blobs_recovered():
+    # Well-separated blobs: k-means should give a near-pure partition.
+    rng = np.random.default_rng(0)
+    centers = np.eye(4, dtype=np.float32) * 10
+    truth = rng.integers(0, 4, size=800)
+    data = centers[truth] + 0.05 * rng.normal(size=(800, 4)).astype(np.float32)
+    _, labels = kmeans(data, 4, tile_rows=256)
+    # Every true cluster maps to exactly one label.
+    purity = 0
+    for t in range(4):
+        values, counts = np.unique(labels[truth == t], return_counts=True)
+        purity += counts.max()
+    assert purity / 800 > 0.99
+
+
+def test_all_clusters_nonempty_and_assign_roundtrip():
+    data, _ = synthetic_blobs(1000, 12, 1, n_clusters=10, seed=9)
+    centroids, labels = kmeans(data, 10)
+    assert len(np.unique(labels)) == 10
+    np.testing.assert_array_equal(kmeans_assign(centroids, data), labels)
+
+
+def test_more_clusters_than_points_clamped():
+    data, _ = synthetic_blobs(6, 4, 1, seed=2)
+    centroids, labels = kmeans(data, 50)
+    assert centroids.shape[0] <= 6
+    assert labels.shape == (6,)
+
+
+def test_single_point():
+    data = np.ones((1, 4), dtype=np.float32)
+    centroids, labels = kmeans(data, 5)
+    # Reference guard: <2 points → single label 0 (builder:290-291).
+    np.testing.assert_array_equal(labels, [0])
