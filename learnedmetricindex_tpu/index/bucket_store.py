@@ -1,0 +1,344 @@
+"""Chunked, device-resident bucket store and the batched bucket scan.
+
+This replaces the reference's query-time bucket machinery — the pandas
+``groupby(category_L*)`` re-scanned once per visited-bucket round with a
+``faiss.knn`` call per (bucket, querysubset) pair
+(``search/li/LearnedIndex.py:327-373``) — with a TPU-native layout:
+
+* **Chunked CSR layout.**  Dataset rows are packed sorted-by-bucket into
+  fixed-size *chunks* ``chunk_data[n_chunks, chunk, d]`` (plus 1-based
+  object ids, 0 = padding).  Each bucket owns a contiguous chunk range
+  (CSR offsets).  Only each bucket's last chunk is padded, so HBM
+  overhead is ≤ ``n_buckets·chunk/n`` — unlike padding every bucket to
+  the max bucket length (3× at LAION-10M imbalance).
+* **Flat work list.**  A search visit-set ``bucket_order[q, :]``
+  expands into uniform work items ``(query-tile, chunk)``; every item is
+  one (qtile × d) @ (d × chunk) MXU matmul + top-k.  No ragged shapes,
+  no host round-trips inside the scan.
+* **Two-phase top-k.**  Items emit per-(query, chunk) top-k candidates;
+  a final gather + ``lax.top_k`` per query merges them.  ``lax.top_k``
+  is stable, so ties resolve toward the earlier candidate, mirroring the
+  reference's stable merge (``LearnedIndex.py:125-146``) up to candidate
+  order (bucket-index order here vs. visit order there — identical
+  results unless exact distance ties span buckets).
+
+Distances are the reference's convention: ``1 - <q, x>`` on normalized
+vectors (``LearnedIndex.py:368``); queries with no valid candidate get
+``dist=inf, id=0`` like the reference's initialization
+(``LearnedIndex.py:340-341``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class BucketStore(NamedTuple):
+    chunk_data: jnp.ndarray  # (n_chunks, chunk, d)
+    chunk_ids: jnp.ndarray  # (n_chunks, chunk) int32, 1-based, 0 = pad
+    bucket_chunk_start: np.ndarray  # (n_buckets + 1,) host CSR over chunks
+    bucket_sizes: np.ndarray  # (n_buckets,) host true row counts
+    chunk: int
+    n_buckets: int
+
+    @property
+    def d(self) -> int:
+        return self.chunk_data.shape[-1]
+
+    @property
+    def n_chunks(self) -> int:
+        return self.chunk_data.shape[0]
+
+    @classmethod
+    def build(
+        cls,
+        data: np.ndarray,
+        bucket_ids: np.ndarray,
+        n_buckets: int,
+        chunk: int = 2048,
+        dtype=jnp.float32,
+        object_ids: Optional[np.ndarray] = None,
+    ) -> "BucketStore":
+        """Pack rows into the chunked layout (host-side counting sort).
+
+        ``object_ids``: 1-based ids to report for each row (defaults to
+        ``row_index + 1``, the reference's convention,
+        ``search/search.py:190-191``).
+        """
+        data = np.asarray(data, dtype=np.float32)
+        bucket_ids = np.asarray(bucket_ids)
+        n, d = data.shape
+        if object_ids is None:
+            object_ids = np.arange(1, n + 1, dtype=np.int32)
+        else:
+            object_ids = np.asarray(object_ids, dtype=np.int32)
+
+        order = np.argsort(bucket_ids, kind="stable")
+        counts = np.bincount(bucket_ids, minlength=n_buckets)
+        nchunks = -(-counts // chunk)  # empty bucket → 0 chunks
+        starts = np.concatenate([[0], np.cumsum(nchunks)]).astype(np.int32)
+        total_chunks = int(starts[-1])
+
+        padded = total_chunks * chunk
+        src_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        positions = (
+            starts[bucket_ids[order]].astype(np.int64) * chunk
+            + np.arange(n)
+            - src_starts[bucket_ids[order]]
+        )
+        flat = np.zeros((padded, d), dtype=np.float32)
+        flat[positions] = data[order]
+        ids = np.zeros(padded, dtype=np.int32)
+        ids[positions] = object_ids[order]
+
+        return cls(
+            chunk_data=jnp.asarray(flat.reshape(total_chunks, chunk, d), dtype=dtype),
+            chunk_ids=jnp.asarray(ids.reshape(total_chunks, chunk)),
+            bucket_chunk_start=starts,
+            bucket_sizes=counts.astype(np.int32),
+            chunk=chunk,
+            n_buckets=n_buckets,
+        )
+
+    def nbytes(self) -> int:
+        return self.chunk_data.nbytes + self.chunk_ids.nbytes
+
+
+class ScanPlan(NamedTuple):
+    """Host-built execution plan for one visit-set (see module docstring)."""
+
+    qidx: np.ndarray  # (QP,) query index per padded pair slot, -1 = pad
+    item_q_start: np.ndarray  # (W,) slot offset of each item's query tile
+    item_chunk: np.ndarray  # (W,) chunk processed by each item
+    cand_rows: np.ndarray  # (Q, max_items) candidate-row index, -1 = pad
+    qtile: int
+
+
+def build_scan_plan(
+    store: BucketStore, bucket_order: np.ndarray, qtile: int = 128
+) -> ScanPlan:
+    """Expand per-query visit lists into the flat uniform work list.
+
+    ``bucket_order``: (Q, V) int bucket indices, -1 for unused slots.
+    """
+    Q, V = bucket_order.shape
+    starts = store.bucket_chunk_start
+    nchunks_all = (starts[1:] - starts[:-1]).astype(np.int64)
+
+    # --- (query, bucket) pairs, sorted by bucket --------------------
+    q_of_pair = np.repeat(np.arange(Q, dtype=np.int64), V)
+    b_of_pair = bucket_order.reshape(-1).astype(np.int64)
+    keep = b_of_pair >= 0
+    q_of_pair, b_of_pair = q_of_pair[keep], b_of_pair[keep]
+    order = np.argsort(b_of_pair, kind="stable")
+    q_sorted, b_sorted = q_of_pair[order], b_of_pair[order]
+
+    pair_counts = np.bincount(b_sorted, minlength=store.n_buckets)
+    padded_counts = -(-pair_counts // qtile) * qtile  # 0 stays 0
+    pad_starts = np.concatenate([[0], np.cumsum(padded_counts)[:-1]])
+    QP = int(padded_counts.sum())
+
+    src_starts = np.concatenate([[0], np.cumsum(pair_counts)[:-1]])
+    slot = pad_starts[b_sorted] + np.arange(len(b_sorted)) - src_starts[b_sorted]
+    qidx = np.full(QP, -1, dtype=np.int32)
+    qidx[slot] = q_sorted
+
+    # --- work items: for bucket b, for qtile t, for chunk c ----------
+    ntiles = padded_counts // qtile  # per bucket
+    nchunks = nchunks_all
+    items_per_bucket = ntiles * nchunks
+    W = int(items_per_bucket.sum())
+    item_q_start = np.empty(W, dtype=np.int32)
+    item_chunk = np.empty(W, dtype=np.int32)
+    item_base = np.concatenate([[0], np.cumsum(items_per_bucket)[:-1]])
+
+    active = np.nonzero(items_per_bucket)[0]
+    # vectorized fill: item index within bucket = t * nchunks[b] + c
+    rep_b = np.repeat(active, items_per_bucket[active])
+    within = np.arange(W, dtype=np.int64) - item_base[rep_b]
+    t_of_item = within // nchunks[rep_b]
+    c_of_item = within % nchunks[rep_b]
+    item_q_start[:] = (pad_starts[rep_b] + t_of_item * qtile).astype(np.int32)
+    item_chunk[:] = (starts[rep_b] + c_of_item).astype(np.int32)
+
+    # --- candidate-row plan per query -------------------------------
+    # pair (q, b) at padded slot p contributes rows
+    #   (item_base[b] + (p - pad_starts[b])//qtile * nchunks[b] + c) * qtile
+    #   + (p - pad_starts[b]) % qtile            for c in [0, nchunks[b])
+    within_pair = slot - pad_starts[b_sorted]
+    first_item = (
+        item_base[b_sorted] + (within_pair // qtile) * nchunks[b_sorted]
+    )
+    row_off = within_pair % qtile
+    n_items_q = np.zeros(Q, dtype=np.int64)
+    np.add.at(n_items_q, q_sorted, nchunks[b_sorted])
+    max_items = max(int(n_items_q.max()) if Q else 1, 1)
+
+    cand_rows = np.full((Q, max_items), -1, dtype=np.int64)
+    # expand: each pair yields nchunks[b] rows
+    rows_per_pair = nchunks[b_sorted]
+    tot_rows = int(rows_per_pair.sum())
+    rep_pair = np.repeat(np.arange(len(b_sorted)), rows_per_pair)
+    pair_starts = np.concatenate([[0], np.cumsum(rows_per_pair)[:-1]])
+    c_seq = np.arange(tot_rows, dtype=np.int64) - pair_starts[rep_pair]
+    flat_rows = (first_item[rep_pair] + c_seq) * qtile + row_off[rep_pair]
+    row_q = q_sorted[rep_pair]
+    # position of each row within its query's candidate list
+    qpos_counter = np.zeros(Q, dtype=np.int64)
+    # stable per-query running position via argsort trick
+    order_q = np.argsort(row_q, kind="stable")
+    qsorted_rows = row_q[order_q]
+    q_run_start = np.concatenate(
+        [[0], np.cumsum(np.bincount(qsorted_rows, minlength=Q))[:-1]]
+    )
+    pos_in_q = np.arange(tot_rows) - q_run_start[qsorted_rows]
+    cand_rows[qsorted_rows, pos_in_q] = flat_rows[order_q]
+
+    return ScanPlan(
+        qidx=qidx,
+        item_q_start=item_q_start,
+        item_chunk=item_chunk,
+        cand_rows=cand_rows,
+        qtile=qtile,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "qtile", "items_per_step", "precision"),
+)
+def _scan_items(
+    queries: jnp.ndarray,  # (Q, d)
+    qidx: jnp.ndarray,  # (QP,)
+    item_q_start: jnp.ndarray,  # (Wp,) padded to items_per_step multiple
+    item_chunk: jnp.ndarray,  # (Wp,)
+    item_valid: jnp.ndarray,  # (Wp,) bool
+    chunk_data: jnp.ndarray,
+    chunk_ids: jnp.ndarray,
+    *,
+    k: int,
+    qtile: int,
+    items_per_step: int,
+    precision: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Phase 1: per-item distances + top-k candidates."""
+    Wp = item_q_start.shape[0]
+    S = items_per_step
+    steps = Wp // S
+    prec = (
+        jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
+    )
+
+    def body(_, inputs):
+        q_start, chunk_idx, valid = inputs
+        offs = q_start[:, None] + jnp.arange(qtile)[None, :]
+        qi = qidx[offs]  # (S, qtile)
+        qv = queries[jnp.maximum(qi, 0)]  # (S, qtile, d)
+        cd = chunk_data[chunk_idx].astype(jnp.float32)  # (S, chunk, d)
+        ids = chunk_ids[chunk_idx]  # (S, chunk)
+        sims = jnp.einsum(
+            "sqd,scd->sqc", qv, cd,
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        dists = 1.0 - sims
+        dists = jnp.where(ids[:, None, :] == 0, jnp.inf, dists)
+        dists = jnp.where(qi[:, :, None] < 0, jnp.inf, dists)
+        dists = jnp.where(valid[:, None, None], dists, jnp.inf)
+        neg, pos = jax.lax.top_k(-dists, k)  # (S, qtile, k)
+        cid = jnp.take_along_axis(
+            jnp.broadcast_to(ids[:, None, :], dists.shape), pos, axis=2
+        )
+        return None, (-neg, cid)
+
+    _, (cd_out, ci_out) = jax.lax.scan(
+        body,
+        None,
+        (
+            item_q_start.reshape(steps, S),
+            item_chunk.reshape(steps, S),
+            item_valid.reshape(steps, S),
+        ),
+    )
+    # (steps, S, qtile, k) → (Wp * qtile, k)
+    cand_d = cd_out.reshape(Wp * qtile, k)
+    cand_i = ci_out.reshape(Wp * qtile, k)
+    return cand_d, cand_i
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge_candidates(
+    cand_d: jnp.ndarray,  # (R, k)
+    cand_i: jnp.ndarray,  # (R, k)
+    cand_rows: jnp.ndarray,  # (Q, max_items) row indices, -1 pad
+    *,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Phase 2: gather each query's candidates and take the global top-k."""
+    rows = jnp.maximum(cand_rows, 0)
+    d = cand_d[rows]  # (Q, max_items, k)
+    i = cand_i[rows]
+    d = jnp.where((cand_rows < 0)[:, :, None], jnp.inf, d)
+    Q, M, _ = d.shape
+    d = d.reshape(Q, M * k)
+    i = i.reshape(Q, M * k)
+    neg, pos = jax.lax.top_k(-d, k)
+    dists = -neg
+    ids = jnp.take_along_axis(i, pos, axis=1)
+    ids = jnp.where(jnp.isinf(dists), 0, ids)  # cf. LearnedIndex.py:340-341
+    return dists, ids
+
+
+def scan_buckets(
+    store: BucketStore,
+    queries: np.ndarray,
+    bucket_order: np.ndarray,
+    k: int = 10,
+    qtile: int = 128,
+    items_per_step: int = 8,
+    precision: str = "highest",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact kNN over each query's visit set.
+
+    Returns ``(dists (Q, k) float32, ids (Q, k) uint32 1-based)``.
+    Functional equivalent of the reference's phase B
+    (``LearnedIndex.py:107-146``) in two jitted device passes.
+    """
+    queries = np.asarray(queries, dtype=np.float32)
+    plan = build_scan_plan(store, np.asarray(bucket_order), qtile=qtile)
+
+    W = len(plan.item_chunk)
+    Wp = max(-(-W // items_per_step) * items_per_step, items_per_step)
+    item_q_start = np.zeros(Wp, dtype=np.int32)
+    item_chunk = np.zeros(Wp, dtype=np.int32)
+    item_valid = np.zeros(Wp, dtype=bool)
+    item_q_start[:W] = plan.item_q_start
+    item_chunk[:W] = plan.item_chunk
+    item_valid[:W] = True
+
+    qidx = plan.qidx
+    if len(qidx) == 0:
+        qidx = np.full(qtile, -1, dtype=np.int32)
+
+    cand_d, cand_i = _scan_items(
+        jnp.asarray(queries),
+        jnp.asarray(qidx),
+        jnp.asarray(item_q_start),
+        jnp.asarray(item_chunk),
+        jnp.asarray(item_valid),
+        store.chunk_data,
+        store.chunk_ids,
+        k=k,
+        qtile=qtile,
+        items_per_step=items_per_step,
+        precision=precision,
+    )
+    dists, ids = _merge_candidates(
+        cand_d, cand_i, jnp.asarray(plan.cand_rows), k=k
+    )
+    return np.asarray(dists), np.asarray(ids).astype(np.uint32)

@@ -1,0 +1,191 @@
+"""Index construction.
+
+Same observable behavior as the reference builder
+(``search/li/LearnedIndexBuilder.py:21-352``): top-down, level by level —
+cluster the data at each node with k-means, train an MLP to imitate the
+clustering, then partition the data by the **MLP's own predictions**
+(not the k-means labels; ``builder:76``, ``builder:270-274``) and recurse.
+Returns the same 5-tuple as ``LearnedIndexBuilder.build``
+(``builder:43-107``): ``(index, data_prediction, n_buckets, build_t,
+cluster_t)`` with ``data_prediction`` an ``(n, n_levels)`` int64 matrix
+padded with -1.
+
+Structural TPU differences (capability-equivalent, SURVEY.md §7):
+
+* All node models of one level train **concurrently** as a stacked
+  pytree (:class:`StackedNodeTrainer`) instead of the reference's
+  sequential per-path loop (``builder:234-278``).
+* Node paths are dense row-major integers over the configured category
+  counts rather than ``EMPTY_VALUE``-padded tuples; node slots that a
+  parent never predicts into are tracked with validity masks (the
+  reference shrinks ``n_categories`` in place when clustering returns
+  fewer clusters, ``builder:161-167``).
+* The per-node empty-data assertion (``builder:244-246``) is enforced
+  for every *valid* node slot — the coverage-based training criterion
+  guarantees it.
+* k-means guards match the reference: <2 points → single cluster,
+  ``n_clusters > n → n // 5`` with a floor of 2 (``builder:290-296``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from learnedmetricindex_tpu.config import BuildConfiguration
+from learnedmetricindex_tpu.index.index import LearnedIndex, LevelModels
+from learnedmetricindex_tpu.index.navigation import TreeLayout
+from learnedmetricindex_tpu.models.train import StackedNodeTrainer, group_rows
+from learnedmetricindex_tpu.ops.kmeans import kmeans
+from learnedmetricindex_tpu.utils.logging import Logger
+
+EMPTY_VALUE = -1  # cf. PriorityQueue.py:4
+
+
+def _as_array(data) -> np.ndarray:
+    """Accept a plain array or the reference's 1-indexed DataFrame
+    (``search/search.py:190-191``)."""
+    try:
+        import pandas as pd
+
+        if isinstance(data, pd.DataFrame):
+            return np.ascontiguousarray(data.to_numpy(dtype=np.float32))
+    except ImportError:  # pragma: no cover
+        pass
+    return np.ascontiguousarray(np.asarray(data, dtype=np.float32))
+
+
+def _guarded_n_clusters(n_rows: int, n_clusters: int) -> int:
+    """Reference guards (``builder:290-296``)."""
+    if n_rows < n_clusters:
+        n_clusters = max(n_rows // 5, 2)
+    return n_clusters
+
+
+class LearnedIndexBuilder(Logger):
+    def __init__(self, data, config: BuildConfiguration):
+        self.data = _as_array(data)
+        self.config = config
+
+    def build(self) -> Tuple[LearnedIndex, np.ndarray, int, float, float]:
+        s = time.perf_counter()
+        cfg = self.config
+        n, d = self.data.shape
+        n_levels = cfg.n_levels
+
+        data_prediction = np.full((n, n_levels), EMPTY_VALUE, dtype=np.int64)
+        levels: List[LevelModels] = []
+        cluster_t_total = 0.0
+
+        # node validity per level: level ℓ has prod(C_0..C_{ℓ-1}) slots
+        valid_nodes = np.ones(1, dtype=bool)  # level 0: the root
+
+        for level in range(n_levels):
+            params = cfg.level_configurations[level]
+            n_models = int(np.prod(cfg.n_categories[:level], dtype=np.int64)) if level else 1
+            C = params.n_categories
+
+            if level == 0:
+                parent_gid = np.zeros(n, dtype=np.int64)
+            else:
+                parent_gid = np.ravel_multi_index(
+                    tuple(data_prediction[:, l] for l in range(level)),
+                    tuple(cfg.n_categories[:level]),
+                )
+
+            counts = np.bincount(parent_gid, minlength=n_models)
+            empty_valid = valid_nodes & (counts == 0)
+            assert not empty_valid.any(), (
+                "There are no data points associated with the given path."
+            )  # cf. builder:244-246
+
+            # ---- per-node clustering ---------------------------------
+            labels_full = np.zeros(n, dtype=np.int32)
+            class_mask = np.zeros((n_models, C), dtype=bool)
+            s_cluster = time.perf_counter()
+            for gid in np.nonzero(valid_nodes)[0]:
+                rows = np.nonzero(parent_gid == gid)[0]
+                subset = self.data[rows]
+                if len(rows) < 2:
+                    labels_full[rows] = 0
+                    class_mask[gid, :1] = True
+                    continue
+                k_g = _guarded_n_clusters(len(rows), C)
+                _, lab = kmeans(
+                    subset,
+                    k_g,
+                    seed=cfg.seed + level * 1_000_003 + int(gid),
+                    round_sizes=(level > 0),
+                )
+                # Compact to a dense label range — the reference's
+                # ``len(np.unique(labels))`` shrink (builder:159-167)
+                # assumes labels are dense; guarantee it.
+                uniques, lab = np.unique(lab, return_inverse=True)
+                lab = lab.astype(np.int32)
+                actual = len(uniques)
+                if actual != k_g:
+                    self.logger.debug(
+                        "Clustering returned %d clusters instead of %d "
+                        "at level %d node %d.",
+                        actual,
+                        k_g,
+                        level,
+                        gid,
+                    )  # cf. builder:161-167
+                labels_full[rows] = lab
+                class_mask[gid, :actual] = True
+            cluster_t = time.perf_counter() - s_cluster
+            cluster_t_total += cluster_t
+
+            # ---- concurrent training of all node models --------------
+            grouped = group_rows(
+                self.data, parent_gid, n_models, labels=labels_full, tile=4096
+            )
+            trainer = StackedNodeTrainer(
+                n_models,
+                d,
+                C,
+                model_type=params.model_type,
+                lr=params.lr,
+                batch_size=cfg.batch_size,
+                seed=cfg.seed + level,
+            )
+            trainer.set_class_mask(class_mask)
+            preds_grouped, rounds = trainer.fit(grouped, params.epochs)
+
+            # scatter per-row predictions back to original order
+            valid_rows = np.asarray(grouped.labels) >= 0
+            data_prediction[grouped.row_perm, level] = preds_grouped[valid_rows]
+
+            levels.append(
+                LevelModels(
+                    params=trainer.params,
+                    class_mask=class_mask,
+                    model_type=params.model_type,
+                )
+            )
+
+            # next level's node validity = this level's (node, class) grid
+            valid_nodes = (valid_nodes[:, None] & class_mask).reshape(-1)
+
+            self.logger.debug(
+                "Level %d: %d models, %d training rounds, cluster %.2fs",
+                level,
+                n_models,
+                rounds,
+                cluster_t,
+            )
+
+        layout = TreeLayout.create(cfg.n_categories)
+        n_buckets = int(valid_nodes.sum())  # == len(reference bucket_paths)
+
+        index = LearnedIndex(
+            levels=levels,
+            layout=layout,
+            config=cfg,
+            leaf_valid=valid_nodes,
+        )
+        build_t = time.perf_counter() - s
+        return index, data_prediction, n_buckets, build_t, cluster_t_total

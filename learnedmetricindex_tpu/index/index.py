@@ -1,0 +1,235 @@
+"""The learned index: navigation + bucket scan + merge.
+
+Same observable API as the reference ``LearnedIndex``
+(``search/li/LearnedIndex.py:22-161``): ``search(data_navigation,
+queries_navigation, data_search, queries_search, data_prediction,
+n_categories, n_buckets, k)`` → ``(dists (Q, k), anns (Q, k) uint32
+1-based, measured_time dict)`` with the reference's timing taxonomy
+(``inference``, ``search``, ``search_within_buckets``, ``seq_search``,
+``sort``).
+
+Execution is restructured for TPU (see module docstrings of
+:mod:`navigation` and :mod:`bucket_store`):
+
+* phase A (visit order): batched stacked-model forwards for every tree
+  level, then either the reference-parity best-first replay or the fast
+  joint-probability ``top_k``;
+* phase B (scan): chunked bucket store + flat work-list matmul scan +
+  one stable merge — replacing the reference's per-round
+  pandas-groupby/faiss loop (``LearnedIndex.py:107-146``, ``:327-373``).
+
+Dual-embedding searches (navigate in PCA space, scan in 768-d CLIP
+space — ``search/search.py:192-215``) work unchanged: navigation uses
+``queries_navigation`` against the models, scanning uses
+``data_search``/``queries_search`` in the bucket store.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from learnedmetricindex_tpu.config import BuildConfiguration
+from learnedmetricindex_tpu.index.bucket_store import BucketStore, scan_buckets
+from learnedmetricindex_tpu.index.navigation import (
+    TreeLayout,
+    best_first_order,
+    flatten_entry_probs,
+    joint_order,
+    topk_order_single_level,
+)
+from learnedmetricindex_tpu.models.mlp import stacked_mlp_apply
+from learnedmetricindex_tpu.utils.logging import Logger
+
+NEG_INF = -1e9
+
+
+@dataclass
+class LevelModels:
+    """All node models of one tree level as a stacked pytree."""
+
+    params: list  # stacked pytree, leading axis = n_models
+    class_mask: np.ndarray  # (n_models, n_categories) bool
+    model_type: str
+
+    @property
+    def n_models(self) -> int:
+        return self.class_mask.shape[0]
+
+    @property
+    def n_categories(self) -> int:
+        return self.class_mask.shape[1]
+
+
+def _level_probs(level: LevelModels, queries: jnp.ndarray) -> jnp.ndarray:
+    """(Q, n_models, C) conditional probabilities, masked classes at 0."""
+    logits = stacked_mlp_apply(level.params, queries)  # (M, Q, C)
+    mask = jnp.asarray(level.class_mask)[:, None, :]
+    logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.where(mask, probs, 0.0)
+    return jnp.transpose(probs, (1, 0, 2))
+
+
+class LearnedIndex(Logger):
+    """A built index (see :class:`LearnedIndexBuilder`)."""
+
+    def __init__(
+        self,
+        levels: List[LevelModels],
+        layout: TreeLayout,
+        config: BuildConfiguration,
+        leaf_valid: np.ndarray,
+    ):
+        self.levels = levels
+        self.layout = layout
+        self.config = config
+        self.leaf_valid = np.asarray(leaf_valid, dtype=bool)
+        self._store_cache: Dict[Tuple[int, int], BucketStore] = {}
+
+    # ------------------------------------------------------------------
+    # reference-parity introspection
+    # ------------------------------------------------------------------
+    @property
+    def n_levels(self) -> int:
+        return len(self.levels)
+
+    @property
+    def bucket_paths(self) -> List[Tuple[int, ...]]:
+        """Paths of all valid leaf buckets as tuples (the reference's
+        ``bucket_paths`` list, ``LearnedIndexBuilder.py:276-278``)."""
+        dims = tuple(self.config.n_categories)
+        out = []
+        for leaf in np.nonzero(self.leaf_valid)[0]:
+            out.append(tuple(int(v) for v in np.unravel_index(leaf, dims)))
+        return out
+
+    @property
+    def n_buckets(self) -> int:
+        return int(self.leaf_valid.sum())
+
+    # ------------------------------------------------------------------
+    # search
+    # ------------------------------------------------------------------
+    def bucket_ids_from_prediction(self, data_prediction: np.ndarray) -> np.ndarray:
+        """Dense global bucket id per data row (row-major over the path,
+        the analog of the reference's ``category_L*`` annotation,
+        ``LearnedIndex.py:101-104``)."""
+        dims = tuple(self.config.n_categories)
+        cols = tuple(
+            np.asarray(data_prediction[:, l], dtype=np.int64)
+            for l in range(len(dims))
+        )
+        return np.ravel_multi_index(cols, dims)
+
+    def get_bucket_store(
+        self, data_search, data_prediction: np.ndarray
+    ) -> BucketStore:
+        """Build (and cache) the chunked device-resident bucket store."""
+        key = (id(data_search), id(data_prediction))
+        store = self._store_cache.get(key)
+        if store is None:
+            from learnedmetricindex_tpu.index.builder import _as_array
+
+            bucket_ids = self.bucket_ids_from_prediction(data_prediction)
+            store = BucketStore.build(
+                _as_array(data_search),
+                bucket_ids,
+                n_buckets=int(np.prod(self.config.n_categories, dtype=np.int64)),
+                chunk=self.config.chunk_size,
+                dtype=jnp.dtype(self.config.dtype),
+            )
+            self._store_cache = {key: store}  # keep at most one
+        return store
+
+    def _tree_probs(self, queries_navigation: jnp.ndarray):
+        level_probs = [
+            _level_probs(level, queries_navigation) for level in self.levels
+        ]
+        level_valid = [level.class_mask for level in self.levels]
+        return level_probs, level_valid
+
+    def compute_bucket_order(
+        self,
+        queries_navigation,
+        n_buckets: int,
+        policy: str = "best_first",
+    ) -> Tuple[np.ndarray, float]:
+        """Phase A: per-query bucket visit order
+        (cf. ``_precompute_bucket_order``, ``LearnedIndex.py:164-252``).
+
+        Returns (order (Q, n_buckets) global bucket ids with -1 padding,
+        inference seconds).
+        """
+        s = time.perf_counter()
+        q = jnp.asarray(np.asarray(queries_navigation, dtype=np.float32))
+        level_probs, level_valid = self._tree_probs(q)
+
+        if self.n_levels == 1:
+            order = topk_order_single_level(
+                level_probs[0][:, 0, :], level_valid[0][0], n_buckets
+            )  # cf. LearnedIndex.py:209-214
+        elif policy == "joint":
+            order = joint_order(self.layout, level_probs, level_valid, n_buckets)
+        elif policy == "best_first":
+            entry_probs = flatten_entry_probs(
+                self.layout, level_probs, level_valid
+            )
+            order = best_first_order(self.layout, entry_probs, n_buckets)
+        else:
+            raise ValueError(f"Unknown navigation policy: {policy}")
+        return np.asarray(order), time.perf_counter() - s
+
+    def search(
+        self,
+        data_navigation,
+        queries_navigation,
+        data_search,
+        queries_search,
+        data_prediction: np.ndarray,
+        n_categories: Optional[Sequence[int]] = None,
+        n_buckets: int = 1,
+        k: int = 10,
+        policy: str = "best_first",
+    ):
+        """Search ``k`` nearest neighbors in the ``n_buckets`` most
+        probable buckets per query (cf. ``LearnedIndex.search``,
+        ``LearnedIndex.py:41-161``).
+
+        ``data_navigation`` and ``n_categories`` are accepted for
+        signature parity; navigation state lives in the index itself.
+        """
+        measured: Dict[str, float] = {
+            "inference": 0.0,
+            "search": 0.0,
+            "search_within_buckets": 0.0,
+            "seq_search": 0.0,
+            "sort": 0.0,
+        }
+        s = time.perf_counter()
+
+        order, measured["inference"] = self.compute_bucket_order(
+            queries_navigation, n_buckets, policy=policy
+        )
+
+        store = self.get_bucket_store(data_search, data_prediction)
+
+        s_scan = time.perf_counter()
+        dists, anns = scan_buckets(
+            store,
+            np.asarray(queries_search, dtype=np.float32),
+            order,
+            k=k,
+            precision="highest" if self.config.dtype == "float32" else "default",
+        )
+        t_scan = time.perf_counter() - s_scan
+        measured["search_within_buckets"] = t_scan
+        measured["seq_search"] = t_scan
+
+        measured["search"] = time.perf_counter() - s
+        return dists, anns, measured

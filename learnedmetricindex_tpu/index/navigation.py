@@ -1,0 +1,237 @@
+"""Query navigation: from per-node probabilities to a bucket visit order.
+
+The reference interleaves model inference with a per-query priority
+queue: pop the most probable path, run that node's MLP on the matching
+query subset, push children, re-sort, repeat
+(``search/li/LearnedIndex.py:164-301`` + ``PriorityQueue.py``).  That
+couples tiny per-node forwards to serial host control flow.
+
+Here the two concerns are decoupled:
+
+1. **All probabilities first.**  Every level's node models are stacked,
+   so all conditional probabilities ``P(child | node)`` for the whole
+   tree come from one batched einsum per level (MXU-friendly), done by
+   the caller (:meth:`LearnedIndex._tree_probs`).
+2. **Traversal as an array state machine.**  Given the precomputed
+   entry probabilities, the reference's best-first traversal is replayed
+   exactly: each tree entry (node or leaf) is hidden / queued / popped;
+   one ``lax.while_loop`` iteration pops the most probable queued entry
+   for every unfinished query simultaneously, unlocking its children or
+   emitting the leaf.  Priorities are the reference's: a child is ranked
+   by its *conditional* probability alone, not the joint path
+   probability (``LearnedIndex.py:286-299`` pushes
+   ``probabilities[:, child_idx]`` unscaled).
+
+A faster ``joint`` policy (rank leaves by ``∏ P(child|node)``, one
+``top_k``) is provided as a TPU-friendly alternative; it is the default
+for benchmarking but ``best_first`` reproduces reference semantics.
+
+Tie-breaking: the reference resolves equal probabilities via its
+argsort history (``PriorityQueue.py:58-94``); we use ``argmax`` (lowest
+entry index wins).  Exact float ties are the only divergence.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence, Tuple
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INVALID = -1.0  # entry probability marker; valid probabilities are >= 0
+
+
+class TreeLayout(NamedTuple):
+    """Static entry numbering for an index tree.
+
+    Level ℓ (1-based) holds ``prod(n_categories[:ℓ])`` entries — one per
+    path prefix — numbered contiguously from ``offsets[ℓ-1]``.  Leaves
+    are the last level's entries; a leaf's local index is the *global
+    bucket id* (row-major over the path, the dense analog of the
+    reference's ``bucket_paths`` tuples, ``builder:276-278``).
+    """
+
+    n_categories: Tuple[int, ...]
+    offsets: Tuple[int, ...]  # per level, len = n_levels + 1 (end sentinel)
+    child_base: np.ndarray  # (E,) first child entry, 0 for leaves
+    child_count: np.ndarray  # (E,) n children, 0 for leaves
+    is_leaf: np.ndarray  # (E,) bool
+
+    @property
+    def n_entries(self) -> int:
+        return int(self.offsets[-1])
+
+    @property
+    def n_leaves(self) -> int:
+        return int(self.offsets[-1] - self.offsets[-2])
+
+    @classmethod
+    def create(cls, n_categories: Sequence[int]) -> "TreeLayout":
+        n_categories = tuple(int(c) for c in n_categories)
+        counts = []
+        acc = 1
+        for c in n_categories:
+            acc *= c
+            counts.append(acc)
+        offsets = [0]
+        for cnt in counts:
+            offsets.append(offsets[-1] + cnt)
+        E = offsets[-1]
+        child_base = np.zeros(E, dtype=np.int32)
+        child_count = np.zeros(E, dtype=np.int32)
+        is_leaf = np.zeros(E, dtype=bool)
+        for lvl in range(len(n_categories)):
+            lo, hi = offsets[lvl], offsets[lvl + 1]
+            if lvl == len(n_categories) - 1:
+                is_leaf[lo:hi] = True
+            else:
+                c_next = n_categories[lvl + 1]
+                j = np.arange(hi - lo)
+                child_base[lo:hi] = offsets[lvl + 1] + j * c_next
+                child_count[lo:hi] = c_next
+        return cls(
+            n_categories=n_categories,
+            offsets=tuple(offsets),
+            child_base=child_base,
+            child_count=child_count,
+            is_leaf=is_leaf,
+        )
+
+
+def flatten_entry_probs(
+    layout: TreeLayout, level_probs: List[jnp.ndarray], level_valid: List[np.ndarray]
+) -> jnp.ndarray:
+    """Concatenate per-level probabilities into (Q, E) entry scores.
+
+    ``level_probs[ℓ]``: (Q, n_nodes_ℓ, C_ℓ) conditional probabilities
+    (n_nodes_0 = 1 for the root).  ``level_valid[ℓ]``: same shape bool
+    (False = class unused by that node after clustering shrink,
+    cf. ``builder:161-167``); invalid entries score :data:`INVALID`.
+    """
+    Q = level_probs[0].shape[0]
+    parts = []
+    for probs, valid in zip(level_probs, level_valid):
+        p = jnp.where(jnp.asarray(valid)[None, :, :], probs, INVALID)
+        parts.append(p.reshape(Q, -1))
+    flat = jnp.concatenate(parts, axis=1)
+    assert flat.shape[1] == layout.n_entries
+    return flat
+
+
+@functools.partial(jax.jit, static_argnames=("n_buckets", "layout_key"))
+def _best_first_device(
+    entry_probs: jnp.ndarray,  # (Q, E)
+    child_base: jnp.ndarray,
+    child_count: jnp.ndarray,
+    is_leaf: jnp.ndarray,
+    first_level_end: jnp.ndarray,
+    *,
+    n_buckets: int,
+    layout_key: Tuple,
+):
+    Q, E = entry_probs.shape
+    HIDDEN, QUEUED, POPPED = 0, 1, 2
+    leaf_offset = jnp.int32(layout_key[-2])  # first leaf entry index
+
+    col = jnp.arange(E, dtype=jnp.int32)[None, :]
+    status0 = jnp.where(
+        col < first_level_end, jnp.uint8(QUEUED), jnp.uint8(HIDDEN)
+    ).repeat(Q, axis=0)
+
+    order0 = jnp.full((Q, n_buckets), -1, jnp.int32)
+    emitted0 = jnp.zeros((Q,), jnp.int32)
+
+    def cond(state):
+        status, emitted, order = state
+        queued_valid = (status == QUEUED) & (entry_probs > INVALID + 0.5)
+        return jnp.any((emitted < n_buckets) & jnp.any(queued_valid, axis=1))
+
+    def body(state):
+        status, emitted, order = state
+        masked = jnp.where(status == QUEUED, entry_probs, -jnp.inf)
+        pop = jnp.argmax(masked, axis=1).astype(jnp.int32)  # (Q,)
+        pop_prob = jnp.take_along_axis(masked, pop[:, None], axis=1)[:, 0]
+        do = (emitted < n_buckets) & (pop_prob > INVALID + 0.5)
+
+        # mark popped
+        onehot = col == pop[:, None]
+        status = jnp.where(
+            onehot & do[:, None], jnp.uint8(POPPED), status
+        )
+
+        leaf = is_leaf[pop] & do
+        # emit leaf: bucket id = pop - leaf_offset
+        order = order.at[jnp.arange(Q), jnp.minimum(emitted, n_buckets - 1)].set(
+            jnp.where(leaf, pop - leaf_offset, order[jnp.arange(Q), jnp.minimum(emitted, n_buckets - 1)])
+        )
+        emitted = emitted + leaf.astype(jnp.int32)
+
+        # unlock children of popped internal entries
+        base = child_base[pop][:, None]
+        cnt = child_count[pop][:, None]
+        in_range = (col >= base) & (col < base + cnt)
+        unlock = in_range & (do & ~leaf)[:, None] & (status == HIDDEN)
+        status = jnp.where(unlock, jnp.uint8(QUEUED), status)
+        return status, emitted, order
+
+    _, _, order = jax.lax.while_loop(cond, body, (status0, emitted0, order0))
+    return order
+
+
+def best_first_order(
+    layout: TreeLayout, entry_probs: jnp.ndarray, n_buckets: int
+) -> np.ndarray:
+    """Reference-parity best-first visit order → (Q, n_buckets) global
+    bucket ids (-1 where a query ran out of reachable buckets)."""
+    n_buckets = min(n_buckets, layout.n_leaves)
+    order = _best_first_device(
+        entry_probs,
+        jnp.asarray(layout.child_base),
+        jnp.asarray(layout.child_count),
+        jnp.asarray(layout.is_leaf),
+        jnp.int32(layout.offsets[1]),
+        n_buckets=n_buckets,
+        layout_key=layout.offsets,
+    )
+    return np.asarray(order)
+
+
+@functools.partial(jax.jit, static_argnames=("n_buckets",))
+def _joint_topk(leaf_probs: jnp.ndarray, *, n_buckets: int):
+    probs, ids = jax.lax.top_k(leaf_probs, n_buckets)
+    return jnp.where(probs > INVALID + 0.5, ids, -1)
+
+
+def joint_order(
+    layout: TreeLayout,
+    level_probs: List[jnp.ndarray],
+    level_valid: List[np.ndarray],
+    n_buckets: int,
+) -> np.ndarray:
+    """Rank leaves by joint path probability ``∏ P(child|node)`` — the
+    principled TPU-fast policy (single ``top_k``, no traversal loop)."""
+    Q = level_probs[0].shape[0]
+    acc = None
+    for probs, valid in zip(level_probs, level_valid):
+        p = jnp.where(jnp.asarray(valid)[None, :, :], probs, 0.0)
+        if acc is None:
+            acc = p.reshape(Q, -1)
+        else:
+            acc = (acc[:, :, None] * p).reshape(Q, -1)
+    # leaves with zero accumulated probability are unreachable
+    acc = jnp.where(acc > 0.0, acc, INVALID)
+    n_buckets = min(n_buckets, layout.n_leaves)
+    return np.asarray(_joint_topk(acc, n_buckets=n_buckets))
+
+
+def topk_order_single_level(
+    root_probs: jnp.ndarray, valid: np.ndarray, n_buckets: int
+) -> np.ndarray:
+    """1-level navigation: top ``n_buckets`` classes of the root model
+    (the reference's special case, ``LearnedIndex.py:209-214``)."""
+    probs = jnp.where(jnp.asarray(valid)[None, :], root_probs, INVALID)
+    n_buckets = min(n_buckets, probs.shape[1])
+    return np.asarray(_joint_topk(probs, n_buckets=n_buckets))

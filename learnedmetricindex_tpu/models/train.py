@@ -1,0 +1,451 @@
+"""Jitted MLP training — single and many-models-at-once.
+
+Replaces the reference training stack (``search/li/model.py:130-241``:
+``NeuralNetwork`` = MLP + CrossEntropyLoss + Adam, full-softmax
+``predict_proba``) and its build-time usage pattern
+(``LearnedIndexBuilder.py:120-201``): train for ``epochs``, check that
+the model's own predictions cover every class, retrain until covered
+(at most 1000 rounds).
+
+Two deliberate behavioral improvements over the reference, documented
+per SURVEY.md §3.5:
+
+* **True minibatch SGD.**  The reference's ``train_batch`` calls
+  ``backward``/``step`` once per epoch *outside* the batch loop, so per
+  epoch only the last batch's gradient is applied
+  (``model.py:191-211``).  We apply an Adam update per minibatch; the
+  all-classes-covered convergence criterion (which is load-bearing —
+  it guarantees no empty buckets, ``builder:244-246``) is kept.
+* **Sampling with replacement.**  Per step each model draws a uniform
+  batch from its own segment instead of a per-epoch permutation; with
+  models of different data sizes trained concurrently under ``vmap``
+  this keeps every shape static.  (The reference shuffles via
+  ``SubsetRandomSampler``, ``builder:170-174``.)
+
+The many-model trainer is the TPU-native replacement for the
+reference's sequential per-path loop (``builder:240-278``): all sibling
+node models of a level train concurrently as one stacked pytree; models
+that reach class coverage are frozen (params and Adam state held) while
+the rest continue.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from learnedmetricindex_tpu.models.mlp import (
+    init_stacked_mlp,
+    mlp_apply,
+    stacked_mlp_apply,
+)
+from learnedmetricindex_tpu.utils.logging import Logger
+
+NEG_INF = -1e9
+
+
+class GroupedData(NamedTuple):
+    """Rows sorted by owning model, packed into tile-aligned segments.
+
+    Each model's rows occupy ``[seg_starts[m], seg_starts[m] + seg_lens[m])``
+    in the sorted array; segments start on a tile boundary, so every tile
+    belongs to exactly one model (``tile_model``).  This is the same
+    layout discipline as the chunked bucket store — it makes
+    "run each row through its own model" a scan over tiles with one
+    cheap parameter gather per tile instead of a ragged per-model loop.
+    """
+
+    x: jnp.ndarray  # (n_tiles * tile, d) padded, sorted by model
+    labels: jnp.ndarray  # (n_tiles * tile,) int32, -1 on padding
+    tile_model: jnp.ndarray  # (n_tiles,) int32
+    seg_starts: jnp.ndarray  # (n_models,) int32, tile-aligned
+    seg_lens: jnp.ndarray  # (n_models,) int32, true (unpadded) lengths
+    row_perm: np.ndarray  # (n_valid,) original row index of each sorted row
+    tile: int
+
+
+def group_rows(
+    data: np.ndarray,
+    group_ids: np.ndarray,
+    n_groups: int,
+    labels: Optional[np.ndarray] = None,
+    tile: int = 4096,
+) -> GroupedData:
+    """Host-side layout: stable-sort rows by group, pad each group's
+    segment to a tile multiple (vectorized counting sort)."""
+    group_ids = np.asarray(group_ids)
+    order = np.argsort(group_ids, kind="stable")
+    counts = np.bincount(group_ids, minlength=n_groups)
+    padded_counts = -(-counts // tile) * tile
+    padded_counts = np.maximum(padded_counts, tile)  # every model owns >=1 tile
+    seg_starts = np.concatenate([[0], np.cumsum(padded_counts)[:-1]])
+    total = int(padded_counts.sum())
+
+    src_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    positions = seg_starts[group_ids[order]] + (
+        np.arange(len(order)) - src_starts[group_ids[order]]
+    )
+
+    x = np.zeros((total, data.shape[1]), dtype=np.float32)
+    x[positions] = data[order]
+    lab = np.full(total, -1, dtype=np.int32)
+    if labels is not None:
+        lab[positions] = np.asarray(labels, dtype=np.int32)[order]
+
+    tile_model = np.repeat(np.arange(n_groups), padded_counts // tile).astype(
+        np.int32
+    )
+    return GroupedData(
+        x=jnp.asarray(x),
+        labels=jnp.asarray(lab),
+        tile_model=jnp.asarray(tile_model),
+        seg_starts=jnp.asarray(seg_starts.astype(np.int32)),
+        seg_lens=jnp.asarray(counts.astype(np.int32)),
+        row_perm=order,
+        tile=tile,
+    )
+
+
+def _tree_where_model(active: jnp.ndarray, new, old, n_models: int):
+    """Per-model select: leaves with a leading model axis take ``new``
+    where the model is active; scalar leaves (e.g. Adam's step count)
+    always take ``new``."""
+
+    def sel(n, o):
+        if hasattr(n, "ndim") and n.ndim >= 1 and n.shape[0] == n_models:
+            mask = active.reshape((n_models,) + (1,) * (n.ndim - 1))
+            return jnp.where(mask, n, o)
+        return n
+
+    return jax.tree.map(sel, new, old)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_models", "batch_size", "steps", "lr"),
+)
+def _run_epochs(
+    params,
+    opt_state,
+    key,
+    x,
+    labels,
+    seg_starts,
+    seg_lens,
+    class_mask,
+    active,
+    *,
+    n_models: int,
+    batch_size: int,
+    steps: int,
+    lr: float,
+):
+    """Run ``steps`` minibatch Adam updates on every active model."""
+    opt = optax.adam(lr)
+
+    def loss_fn(p, xb, yb):
+        logits = jax.vmap(mlp_apply)(p, xb)  # (M, B, C)
+        logits = jnp.where(class_mask[:, None, :], logits, NEG_INF)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.maximum(yb, 0)
+        )
+        ce = jnp.where(yb >= 0, ce, 0.0)  # guard: empty-segment pad rows
+        per_model = jnp.mean(ce, axis=1)  # (M,)
+        return jnp.sum(per_model * active), per_model
+
+    def step(carry, skey):
+        p, s = carry
+        idx = seg_starts[:, None] + jax.random.randint(
+            skey, (n_models, batch_size), 0, jnp.maximum(seg_lens, 1)[:, None]
+        )
+        xb = x[idx]  # (M, B, d)
+        yb = labels[idx]  # (M, B)
+        (_, per_model), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, xb, yb
+        )
+        updates, s_new = opt.update(grads, s, p)
+        p_new = optax.apply_updates(p, updates)
+        p = _tree_where_model(active, p_new, p, n_models)
+        s = _tree_where_model(active, s_new, s, n_models)
+        return (p, s), per_model
+
+    (params, opt_state), losses = jax.lax.scan(
+        step, (params, opt_state), jax.random.split(key, steps)
+    )
+    return params, opt_state, losses[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "n_classes"))
+def _predict_own_tiles(params, x, tile_model, class_mask, *, tile, n_classes):
+    """Per-row argmax prediction under the row's own model.
+
+    Scan over tiles; each tile gathers its one model's parameters (a few
+    MB at most) and does one matmul chain — no ragged per-model loops.
+    """
+    n_tiles = tile_model.shape[0]
+    xt = x.reshape(n_tiles, tile, x.shape[-1])
+
+    def body(_, inputs):
+        m, xtile = inputs
+        p_m = jax.tree.map(lambda leaf: leaf[m], params)
+        logits = mlp_apply(p_m, xtile)
+        logits = jnp.where(class_mask[m][None, :], logits, NEG_INF)
+        return None, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    _, preds = jax.lax.scan(body, None, (tile_model, xt))
+    return preds.reshape(n_tiles * tile)
+
+
+@functools.partial(jax.jit, static_argnames=("n_models", "n_classes"))
+def _coverage(preds, labels, tile_model, class_mask, *, n_models, n_classes):
+    """covered[m] = every valid class of model m appears in its own
+    predictions (the reference's convergence criterion,
+    ``builder:183-194``)."""
+    tile = preds.shape[0] // tile_model.shape[0]
+    model_of_row = jnp.repeat(tile_model, tile)
+    valid = labels >= 0
+    counts = jnp.zeros((n_models, n_classes), jnp.int32).at[
+        model_of_row, preds
+    ].add(valid.astype(jnp.int32))
+    return jnp.all((counts > 0) | ~class_mask, axis=1)
+
+
+class StackedNodeTrainer(Logger):
+    """Trains ``n_models`` same-architecture MLPs concurrently, each on
+    its own row segment, until every model's predictions cover all of
+    its valid classes."""
+
+    def __init__(
+        self,
+        n_models: int,
+        input_dim: int,
+        n_classes: int,
+        model_type: str = "MLP",
+        lr: float = 0.01,
+        batch_size: int = 256,
+        seed: int = 2023,
+    ):
+        self.n_models = n_models
+        self.n_classes = n_classes
+        self.batch_size = batch_size
+        self.lr = lr
+        self.key = jax.random.PRNGKey(seed)
+        self.key, init_key = jax.random.split(self.key)
+        self.params = init_stacked_mlp(
+            init_key, n_models, model_type, input_dim, n_classes
+        )
+        self.opt_state = optax.adam(lr).init(self.params)
+        self.class_mask = jnp.ones((n_models, n_classes), bool)
+
+    def set_class_mask(self, mask) -> None:
+        """(n_models, n_classes) bool — False marks classes a node does
+        not use (its clustering returned fewer clusters; cf. the
+        reference's n_categories shrink at ``builder:161-167``)."""
+        self.class_mask = jnp.asarray(mask, dtype=bool)
+
+    def fit(
+        self,
+        grouped: GroupedData,
+        epochs: int,
+        max_rounds: int = 1000,
+    ) -> Tuple[np.ndarray, int]:
+        """Train until covered; returns (per-row predictions over the
+        grouped layout, number of rounds run).
+
+        Raises ``RuntimeError`` after ``max_rounds`` rounds without full
+        coverage (cf. ``builder:191-192``).
+        """
+        seg_lens_np = np.asarray(grouped.seg_lens)
+        max_len = max(int(seg_lens_np.max()), 1)
+        steps_per_epoch = max(1, -(-max_len // self.batch_size))
+        steps = steps_per_epoch * epochs
+
+        active = jnp.ones((self.n_models,), bool)
+        rounds = 0
+        while True:
+            self.key, ekey = jax.random.split(self.key)
+            self.params, self.opt_state, losses = _run_epochs(
+                self.params,
+                self.opt_state,
+                ekey,
+                grouped.x,
+                grouped.labels,
+                grouped.seg_starts,
+                grouped.seg_lens,
+                self.class_mask,
+                active.astype(jnp.float32),
+                n_models=self.n_models,
+                batch_size=self.batch_size,
+                steps=steps,
+                lr=self.lr,
+            )
+            preds = _predict_own_tiles(
+                self.params,
+                grouped.x,
+                grouped.tile_model,
+                self.class_mask,
+                tile=grouped.tile,
+                n_classes=self.n_classes,
+            )
+            covered = _coverage(
+                preds,
+                grouped.labels,
+                grouped.tile_model,
+                self.class_mask,
+                n_models=self.n_models,
+                n_classes=self.n_classes,
+            )
+            rounds += 1
+            if bool(jnp.all(covered)):
+                break
+            if rounds > max_rounds:
+                raise RuntimeError(
+                    "The model did not converge after "
+                    f"{max_rounds} iterations."
+                )  # cf. builder:191-192
+            active = ~covered
+            self.logger.debug(
+                "round %d: %d/%d models covered",
+                rounds,
+                int(jnp.sum(covered)),
+                self.n_models,
+            )
+        if rounds > 1:
+            self.logger.debug(
+                "Trained for %d epochs instead of %d.", rounds * epochs, epochs
+            )
+        return np.asarray(preds), rounds
+
+    def predict_rows(self, grouped: GroupedData) -> np.ndarray:
+        """Per-row argmax under each row's own model (grouped layout)."""
+        return np.asarray(
+            _predict_own_tiles(
+                self.params,
+                grouped.x,
+                grouped.tile_model,
+                self.class_mask,
+                tile=grouped.tile,
+                n_classes=self.n_classes,
+            )
+        )
+
+    def predict_proba_all(self, queries) -> jnp.ndarray:
+        """All models on the same queries → probabilities
+        (n_models, n_queries, n_classes), invalid classes at 0."""
+        logits = stacked_mlp_apply(self.params, jnp.asarray(queries))
+        logits = jnp.where(self.class_mask[:, None, :], logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        # A fully-masked model (invalid node slot) softmaxes to uniform;
+        # zero it out explicitly so such nodes can never rank buckets.
+        return jnp.where(self.class_mask[:, None, :], probs, 0.0)
+
+
+class NeuralNetwork(Logger):
+    """Single-model wrapper with the reference API surface
+    (``search/li/model.py:130-241``): ``train``/``train_batch``,
+    ``predict``, ``predict_proba``.  Internally a 1-model
+    :class:`StackedNodeTrainer`."""
+
+    def __init__(
+        self,
+        input_dim: int,
+        output_dim: int,
+        lr: float = 0.1,
+        model_type: str = "MLP",
+        class_weight=None,
+        seed: int = 2023,
+        batch_size: int = 256,
+    ):
+        if class_weight is not None:
+            raise NotImplementedError(
+                "class_weight is accepted by the reference but unused by "
+                "any call site (model.py:160-163); not implemented."
+            )
+        self._trainer = StackedNodeTrainer(
+            1, input_dim, output_dim, model_type, lr, batch_size, seed
+        )
+        self.output_dim = output_dim
+
+    @property
+    def params(self):
+        return jax.tree.map(lambda leaf: leaf[0], self._trainer.params)
+
+    def train_batch(self, X, y, epochs: int = 5) -> None:
+        """One round of ``epochs`` epochs of minibatch Adam (no coverage
+        loop — cf. ``model.py:191-211``)."""
+        grouped = group_rows(
+            np.asarray(X, np.float32),
+            np.zeros(len(X), np.int64),
+            1,
+            labels=y,
+            tile=4096,
+        )
+        seg_len = int(np.asarray(grouped.seg_lens)[0])
+        steps = max(1, -(-seg_len // self._trainer.batch_size)) * epochs
+        self._trainer.key, ekey = jax.random.split(self._trainer.key)
+        (
+            self._trainer.params,
+            self._trainer.opt_state,
+            _,
+        ) = _run_epochs(
+            self._trainer.params,
+            self._trainer.opt_state,
+            ekey,
+            grouped.x,
+            grouped.labels,
+            grouped.seg_starts,
+            grouped.seg_lens,
+            self._trainer.class_mask,
+            jnp.ones((1,), jnp.float32),
+            n_models=1,
+            batch_size=self._trainer.batch_size,
+            steps=steps,
+            lr=self._trainer.lr,
+        )
+
+    train = train_batch
+
+    def predict(self, X) -> np.ndarray:
+        """Argmax class per row (cf. ``model.py:213-224``)."""
+        logits = mlp_apply(self.params, jnp.asarray(X, jnp.float32))
+        return np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+
+    def predict_proba(self, X) -> Tuple[np.ndarray, np.ndarray]:
+        """(probs sorted desc, class ids), full softmax + top-all —
+        cf. ``model.py:226-241``."""
+        logits = mlp_apply(self.params, jnp.asarray(X, jnp.float32))
+        prob = jax.nn.softmax(logits, axis=-1)
+        probs, classes = jax.lax.top_k(prob, prob.shape[-1])
+        return np.asarray(probs), np.asarray(classes)
+
+
+def train_until_covered(
+    data,
+    labels,
+    n_classes: int,
+    *,
+    model_type: str = "MLP",
+    lr: float = 0.01,
+    epochs: int = 100,
+    batch_size: int = 256,
+    seed: int = 2023,
+    max_rounds: int = 1000,
+) -> Tuple[StackedNodeTrainer, np.ndarray]:
+    """Convenience single-model path: train until the model's own
+    predictions use every class (``builder:183-194``); returns
+    (trainer, per-row predictions in original row order)."""
+    data = np.asarray(data, np.float32)
+    trainer = StackedNodeTrainer(
+        1, data.shape[1], n_classes, model_type, lr, batch_size, seed
+    )
+    grouped = group_rows(data, np.zeros(len(data), np.int64), 1, labels=labels)
+    preds_grouped, _ = trainer.fit(grouped, epochs, max_rounds)
+    preds = np.empty(len(data), np.int32)
+    valid = np.asarray(grouped.labels) >= 0
+    preds[grouped.row_perm] = preds_grouped[valid]
+    return trainer, preds

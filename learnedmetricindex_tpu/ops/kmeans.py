@@ -153,6 +153,7 @@ def kmeans(
     n_iters: int = 25,
     seed: int = 2023,
     tile_rows: int = 65536,
+    round_sizes: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Cluster ``data`` into ``n_clusters``; returns ``(centroids, labels)``.
 
@@ -160,6 +161,10 @@ def kmeans(
     (``clustering/__init__.py:9-12``) modulo the unused params dict: the
     first return value is the "clustering object" (here the centroid
     matrix), the second the ``int32`` labels.
+
+    ``round_sizes=True`` pads the row count to the next power of two so
+    that many calls over variably-sized subsets (per-node clustering in
+    the builder) reuse a bounded set of compiled programs.
     """
     data = np.asarray(data, dtype=np.float32)
     n, d = data.shape
@@ -169,8 +174,17 @@ def kmeans(
         return data[:1].copy(), np.zeros(n, dtype=np.int32)
     n_clusters = min(n_clusters, n)
 
-    tile_rows = int(min(tile_rows, max(8, n)))
-    padded, n_valid = _pad_rows(data, tile_rows)
+    if round_sizes:
+        target = 256
+        while target < n:
+            target *= 2
+        tile_rows = int(min(tile_rows, target))
+        data_r = np.zeros((target, d), dtype=np.float32)
+        data_r[:n] = data
+        data = data_r
+    tile_rows = int(min(tile_rows, max(8, data.shape[0])))
+    padded, _ = _pad_rows(data, tile_rows)
+    n_valid = n
     centroids, labels = _kmeans_device(
         jnp.asarray(padded),
         jnp.int32(n_valid),

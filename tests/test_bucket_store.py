@@ -1,0 +1,111 @@
+"""Chunked bucket store: layout invariants and scan vs oracle."""
+
+import numpy as np
+
+from learnedmetricindex_tpu.data import synthetic_blobs
+from learnedmetricindex_tpu.index.bucket_store import (
+    BucketStore,
+    build_scan_plan,
+    scan_buckets,
+)
+from learnedmetricindex_tpu.ops.knn import exact_knn, recall
+
+
+def _make_store(n=600, d=16, n_buckets=7, chunk=64, seed=0):
+    data, queries = synthetic_blobs(n, d, 50, seed=seed)
+    rng = np.random.default_rng(seed)
+    bucket_ids = rng.integers(0, n_buckets, size=n)
+    store = BucketStore.build(data, bucket_ids, n_buckets, chunk=chunk)
+    return data, queries, bucket_ids, store
+
+
+def test_layout_invariants():
+    data, _, bucket_ids, store = _make_store()
+    counts = np.bincount(bucket_ids, minlength=7)
+    np.testing.assert_array_equal(store.bucket_sizes, counts)
+    # CSR chunk counts
+    nchunks = store.bucket_chunk_start[1:] - store.bucket_chunk_start[:-1]
+    np.testing.assert_array_equal(nchunks, -(-counts // 64))
+    # every row appears exactly once with its original vector
+    ids = np.asarray(store.chunk_ids).reshape(-1)
+    flat = np.asarray(store.chunk_data).reshape(-1, 16)
+    valid = ids > 0
+    assert valid.sum() == len(data)
+    np.testing.assert_allclose(flat[valid], data[ids[valid] - 1], rtol=1e-6)
+    # rows in a bucket's chunk range have that bucket id
+    for b in range(7):
+        lo, hi = store.bucket_chunk_start[b], store.bucket_chunk_start[b + 1]
+        chunk_ids = np.asarray(store.chunk_ids[lo:hi]).reshape(-1)
+        members = chunk_ids[chunk_ids > 0] - 1
+        np.testing.assert_array_equal(np.sort(members), np.nonzero(bucket_ids == b)[0])
+
+
+def test_scan_full_visit_equals_exact_knn():
+    # Visiting EVERY bucket must reproduce exact brute-force kNN.
+    data, queries, _, store = _make_store()
+    order = np.tile(np.arange(7, dtype=np.int64), (len(queries), 1))
+    dists, ids = scan_buckets(store, queries, order, k=10)
+    ref_d, ref_i = exact_knn(data, queries, k=10)
+    np.testing.assert_allclose(dists, ref_d, rtol=1e-4, atol=1e-5)
+    assert recall(ids, ref_i, 10) == 1.0
+
+
+def test_scan_subset_of_buckets():
+    data, queries, bucket_ids, store = _make_store()
+    # Each query visits buckets {0, 3} only: results must equal exact kNN
+    # restricted to members of those buckets.
+    order = np.tile(np.array([0, 3], dtype=np.int64), (len(queries), 1))
+    dists, ids = scan_buckets(store, queries, order, k=5)
+    members = np.nonzero((bucket_ids == 0) | (bucket_ids == 3))[0]
+    ref_d, ref_local = exact_knn(data[members], queries, k=5)
+    ref_ids = members[ref_local.astype(np.int64) - 1] + 1
+    np.testing.assert_allclose(dists, ref_d, rtol=1e-4, atol=1e-5)
+    assert recall(ids, ref_ids, 5) == 1.0
+
+
+def test_per_query_different_buckets():
+    data, queries, bucket_ids, store = _make_store()
+    rng = np.random.default_rng(42)
+    # Each query gets its own random pair of distinct buckets.
+    order = np.stack(
+        [rng.choice(7, size=2, replace=False) for _ in range(len(queries))]
+    ).astype(np.int64)
+    dists, ids = scan_buckets(store, queries, order, k=3)
+    for qi in range(0, len(queries), 7):
+        members = np.nonzero(np.isin(bucket_ids, order[qi]))[0]
+        ref_d, ref_local = exact_knn(data[members], queries[qi : qi + 1], k=3)
+        ref_ids = members[ref_local.astype(np.int64)[0] - 1] + 1
+        np.testing.assert_allclose(dists[qi], ref_d[0], rtol=1e-4, atol=1e-5)
+        assert set(ids[qi]) == set(ref_ids)
+
+
+def test_invalid_and_empty_visits():
+    data, queries, bucket_ids, store = _make_store()
+    # -1 slots are skipped; a query with no valid slot gets inf/0.
+    order = np.full((len(queries), 3), -1, dtype=np.int64)
+    order[0, 0] = 2
+    dists, ids = scan_buckets(store, queries, order, k=4)
+    assert np.isfinite(dists[0]).all()
+    assert np.isinf(dists[1:]).all()
+    assert (ids[1:] == 0).all()
+
+
+def test_empty_bucket_zero_chunks():
+    data, queries = synthetic_blobs(100, 8, 5, seed=1)
+    bucket_ids = np.zeros(100, dtype=np.int64)  # everything in bucket 0 of 4
+    store = BucketStore.build(data, bucket_ids, 4, chunk=32)
+    assert store.bucket_chunk_start[-1] == store.bucket_chunk_start[1]
+    order = np.tile(np.array([1, 0, 3], dtype=np.int64), (5, 1))
+    dists, ids = scan_buckets(store, queries, order, k=3)
+    ref_d, ref_i = exact_knn(data, queries, k=3)
+    np.testing.assert_allclose(dists, ref_d, rtol=1e-4, atol=1e-5)
+
+
+def test_plan_candidate_rows_cover_all_pairs():
+    data, queries, bucket_ids, store = _make_store(n=200, chunk=32)
+    order = np.tile(np.array([0, 1, 2], dtype=np.int64), (len(queries), 1))
+    plan = build_scan_plan(store, order, qtile=16)
+    nchunks = store.bucket_chunk_start[1:] - store.bucket_chunk_start[:-1]
+    expected = int(nchunks[:3].sum())
+    got = (plan.cand_rows >= 0).sum(axis=1)
+    np.testing.assert_array_equal(got, expected)

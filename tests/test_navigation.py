@@ -1,0 +1,147 @@
+"""Navigation: best-first state machine vs a NumPy re-implementation of
+the reference priority-queue traversal (LearnedIndex.py:164-301)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from learnedmetricindex_tpu.index.navigation import (
+    TreeLayout,
+    best_first_order,
+    flatten_entry_probs,
+    joint_order,
+    topk_order_single_level,
+)
+
+
+def reference_best_first(level_probs, n_categories, n_buckets):
+    """Faithful re-implementation of the reference semantics: pop the
+    highest-probability queued path; internal → push children with their
+    *conditional* probabilities; leaf → emit.  Per query independently."""
+    Q = level_probs[0].shape[0]
+    L = len(n_categories)
+    orders = np.full((Q, n_buckets), -1, dtype=np.int64)
+    for q in range(Q):
+        # heap entries: (prob, path tuple)
+        import heapq
+
+        heap = []
+        counter = 0
+        for c in range(n_categories[0]):
+            p = float(level_probs[0][q, 0, c])
+            if p >= 0:
+                heapq.heappush(heap, (-p, counter, (c,)))
+                counter += 1
+        emitted = 0
+        while heap and emitted < n_buckets:
+            negp, _, path = heapq.heappop(heap)
+            if len(path) == L:
+                flat = np.ravel_multi_index(path, n_categories)
+                orders[q, emitted] = flat
+                emitted += 1
+            else:
+                lvl = len(path)
+                node = int(np.ravel_multi_index(path, n_categories[:lvl]))
+                for c in range(n_categories[lvl]):
+                    p = float(level_probs[lvl][q, node, c])
+                    if p >= 0:
+                        heapq.heappush(heap, (-p, counter, path + (c,)))
+                        counter += 1
+    return orders
+
+
+def _random_probs(rng, Q, n_categories):
+    """Random softmax-like conditional probabilities for a full tree."""
+    level_probs, level_valid = [], []
+    n_nodes = 1
+    for C in n_categories:
+        logits = rng.normal(size=(Q, n_nodes, C)).astype(np.float32) * 3
+        p = np.exp(logits)
+        p /= p.sum(axis=-1, keepdims=True)
+        level_probs.append(jnp.asarray(p))
+        level_valid.append(np.ones((n_nodes, C), bool))
+        n_nodes *= C
+    return level_probs, level_valid
+
+
+def test_two_level_parity_with_reference_traversal():
+    rng = np.random.default_rng(0)
+    n_categories = (4, 3)
+    layout = TreeLayout.create(n_categories)
+    level_probs, level_valid = _random_probs(rng, 40, n_categories)
+    entry = flatten_entry_probs(layout, level_probs, level_valid)
+    for n_buckets in (1, 3, 7, 12):
+        got = best_first_order(layout, entry, n_buckets)
+        ref = reference_best_first(
+            [np.asarray(p) for p in level_probs], n_categories, n_buckets
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_three_level_parity():
+    rng = np.random.default_rng(7)
+    n_categories = (3, 2, 4)
+    layout = TreeLayout.create(n_categories)
+    level_probs, level_valid = _random_probs(rng, 15, n_categories)
+    entry = flatten_entry_probs(layout, level_probs, level_valid)
+    for n_buckets in (2, 10, 24):
+        got = best_first_order(layout, entry, n_buckets)
+        ref = reference_best_first(
+            [np.asarray(p) for p in level_probs], n_categories, n_buckets
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_masked_classes_never_emitted():
+    rng = np.random.default_rng(3)
+    n_categories = (3, 3)
+    layout = TreeLayout.create(n_categories)
+    level_probs, level_valid = _random_probs(rng, 10, n_categories)
+    # invalidate class 2 of the root and class 0 of node 1
+    level_valid[0][0, 2] = False
+    level_valid[1][1, 0] = False
+    entry = flatten_entry_probs(layout, level_probs, level_valid)
+    got = best_first_order(layout, entry, 9)
+    dims = n_categories
+    for row in got:
+        for b in row:
+            if b < 0:
+                continue
+            l1, l2 = np.unravel_index(b, dims)
+            assert l1 != 2
+            assert not (l1 == 1 and l2 == 0)
+    # only 2 valid level-1 nodes × (3 or 2) leaves = 5 reachable buckets
+    assert ((got >= 0).sum(axis=1) == 5).all()
+
+
+def test_emitted_buckets_distinct():
+    rng = np.random.default_rng(11)
+    n_categories = (5, 4)
+    layout = TreeLayout.create(n_categories)
+    level_probs, level_valid = _random_probs(rng, 30, n_categories)
+    entry = flatten_entry_probs(layout, level_probs, level_valid)
+    got = best_first_order(layout, entry, 20)
+    for row in got:
+        vals = row[row >= 0]
+        assert len(set(vals.tolist())) == len(vals)
+
+
+def test_single_level_topk():
+    rng = np.random.default_rng(5)
+    probs = rng.random((8, 6)).astype(np.float32)
+    valid = np.ones(6, bool)
+    order = topk_order_single_level(jnp.asarray(probs), valid, 4)
+    ref = np.argsort(-probs, axis=1, kind="stable")[:, :4]
+    np.testing.assert_array_equal(order, ref)
+
+
+def test_joint_order_ranks_by_product():
+    rng = np.random.default_rng(9)
+    n_categories = (3, 3)
+    layout = TreeLayout.create(n_categories)
+    level_probs, level_valid = _random_probs(rng, 12, n_categories)
+    got = joint_order(layout, level_probs, level_valid, 9)
+    p1 = np.asarray(level_probs[0])[:, 0, :]  # (Q, 3)
+    p2 = np.asarray(level_probs[1])  # (Q, 3, 3)
+    joint = (p1[:, :, None] * p2).reshape(12, 9)
+    ref = np.argsort(-joint, axis=1, kind="stable")
+    np.testing.assert_array_equal(got, ref)
