@@ -1,0 +1,108 @@
+"""Result storage and evaluation.
+
+Replaces two reference pieces:
+
+* ``store_results`` — the SISAP'23 challenge result HDF5 schema, exact
+  parity with ``search/search.py:51-63``: attrs ``algo / data /
+  buildtime / querytime / params / size`` plus datasets ``knns`` (1-based
+  ids) and ``dists``.
+* the evaluation harness — the reference delegates to an *empty git
+  submodule* (``.gitmodules:1-3``; the checkout ships no evaluator), so
+  we vendor the recall computation: ``recall = mean |top-k ∩ gt-k| / k``
+  (``01-Introduction.ipynb`` cell 31) over result/groundtruth files or
+  arrays, emitting the same ``res.csv``-style rows.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from pathlib import Path
+from typing import Iterable, Optional
+
+import numpy as np
+
+from learnedmetricindex_tpu.ops.knn import recall as _recall
+from learnedmetricindex_tpu.utils.logging import Logger
+
+
+def store_results(
+    dst: str,
+    algo: str,
+    kind: str,
+    dists: np.ndarray,
+    anns: np.ndarray,
+    buildtime: float,
+    querytime: float,
+    params: str,
+    size: str,
+) -> None:
+    """Write a challenge-format result file (cf. ``search/search.py:51-63``)."""
+    import h5py
+
+    Path(dst).parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(dst, "w") as f:
+        f.attrs["algo"] = algo
+        f.attrs["data"] = kind
+        f.attrs["buildtime"] = buildtime
+        f.attrs["querytime"] = querytime
+        f.attrs["size"] = size
+        f.attrs["params"] = params
+        f.create_dataset("knns", anns.shape, dtype=anns.dtype)[:] = anns
+        f.create_dataset("dists", dists.shape, dtype=dists.dtype)[:] = dists
+
+
+def load_results(path: str):
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        return (
+            np.asarray(f["knns"]),
+            np.asarray(f["dists"]),
+            dict(f.attrs),
+        )
+
+
+def load_groundtruth(path: str, key: str = "knns") -> np.ndarray:
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        return np.asarray(f[key])
+
+
+def evaluate_result_file(
+    result_path: str, groundtruth, k: int = 10
+) -> dict:
+    """Recall of one result file vs groundtruth (array or HDF5 path)."""
+    if isinstance(groundtruth, (str, os.PathLike)):
+        groundtruth = load_groundtruth(str(groundtruth))
+    knns, dists, attrs = load_results(result_path)
+    r = _recall(knns, groundtruth, k)
+    return {
+        "algo": attrs.get("algo", ""),
+        "data": attrs.get("data", ""),
+        "size": attrs.get("size", ""),
+        "params": attrs.get("params", ""),
+        "buildtime": float(attrs.get("buildtime", 0.0)),
+        "querytime": float(attrs.get("querytime", 0.0)),
+        "recall": r,
+        "file": str(result_path),
+    }
+
+
+def evaluate_to_csv(
+    result_paths: Iterable[str],
+    groundtruth,
+    csv_path: str = "res.csv",
+    k: int = 10,
+) -> list:
+    """Evaluate many result files into a ``res.csv`` (the submodule's
+    output format the reference README plots, ``README.md:49``)."""
+    rows = [evaluate_result_file(p, groundtruth, k) for p in result_paths]
+    if rows:
+        Path(csv_path).parent.mkdir(parents=True, exist_ok=True)
+        with open(csv_path, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(rows[0]))
+            writer.writeheader()
+            writer.writerows(rows)
+    return rows

@@ -39,20 +39,30 @@ import numpy as np
 
 
 class BucketStore(NamedTuple):
-    chunk_data: jnp.ndarray  # (n_chunks, chunk, d)
+    """Either *packed* (``chunk_data`` holds the vectors, padded) or
+    *virtual* (``data_ref`` points at the unmoved original array and
+    ``chunk_ids`` doubles as the gather map).  Virtual mode costs one
+    extra row-gather per scan item but adds zero bytes of HBM beyond the
+    id grid — the right trade when the dataset is already device
+    resident (and mandatory when host↔device bandwidth is scarce)."""
+
     chunk_ids: jnp.ndarray  # (n_chunks, chunk) int32, 1-based, 0 = pad
     bucket_chunk_start: np.ndarray  # (n_buckets + 1,) host CSR over chunks
     bucket_sizes: np.ndarray  # (n_buckets,) host true row counts
     chunk: int
     n_buckets: int
+    chunk_data: Optional[jnp.ndarray] = None  # (n_chunks, chunk, d) packed
+    data_ref: Optional[jnp.ndarray] = None  # (n, d) virtual
 
     @property
     def d(self) -> int:
-        return self.chunk_data.shape[-1]
+        if self.chunk_data is not None:
+            return self.chunk_data.shape[-1]
+        return self.data_ref.shape[-1]
 
     @property
     def n_chunks(self) -> int:
-        return self.chunk_data.shape[0]
+        return self.chunk_ids.shape[0]
 
     @classmethod
     def build(
@@ -105,8 +115,48 @@ class BucketStore(NamedTuple):
             n_buckets=n_buckets,
         )
 
+    @classmethod
+    def build_virtual(
+        cls,
+        data_ref: jnp.ndarray,
+        bucket_ids: np.ndarray,
+        n_buckets: int,
+        chunk: int = 2048,
+    ) -> "BucketStore":
+        """Index-only layout over an unmoved device array: only the
+        (n_chunks, chunk) id grid is materialized (host-side counting
+        sort on indices; the 10M×768 data itself never moves)."""
+        bucket_ids = np.asarray(bucket_ids)
+        n = bucket_ids.shape[0]
+        assert data_ref.shape[0] >= n
+
+        order = np.argsort(bucket_ids, kind="stable")
+        counts = np.bincount(bucket_ids, minlength=n_buckets)
+        nchunks = -(-counts // chunk)
+        starts = np.concatenate([[0], np.cumsum(nchunks)]).astype(np.int32)
+        total_chunks = int(starts[-1])
+
+        src_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        positions = (
+            starts[bucket_ids[order]].astype(np.int64) * chunk
+            + np.arange(n)
+            - src_starts[bucket_ids[order]]
+        )
+        ids = np.zeros(total_chunks * chunk, dtype=np.int32)
+        ids[positions] = order + 1  # 1-based object ids == row + 1
+
+        return cls(
+            data_ref=data_ref,
+            chunk_ids=jnp.asarray(ids.reshape(total_chunks, chunk)),
+            bucket_chunk_start=starts,
+            bucket_sizes=counts.astype(np.int32),
+            chunk=chunk,
+            n_buckets=n_buckets,
+        )
+
     def nbytes(self) -> int:
-        return self.chunk_data.nbytes + self.chunk_ids.nbytes
+        data_bytes = self.chunk_data.nbytes if self.chunk_data is not None else 0
+        return data_bytes + self.chunk_ids.nbytes
 
 
 class ScanPlan(NamedTuple):
@@ -271,6 +321,69 @@ def _scan_items(
     return cand_d, cand_i
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "qtile", "items_per_step", "precision"),
+)
+def _scan_items_virtual(
+    queries: jnp.ndarray,  # (Q, d)
+    qidx: jnp.ndarray,  # (QP,)
+    item_q_start: jnp.ndarray,  # (Wp,)
+    item_chunk: jnp.ndarray,  # (Wp,)
+    item_valid: jnp.ndarray,  # (Wp,) bool
+    data_ref: jnp.ndarray,  # (n, d) unmoved dataset
+    chunk_ids: jnp.ndarray,  # (n_chunks, chunk)
+    *,
+    k: int,
+    qtile: int,
+    items_per_step: int,
+    precision: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Phase 1 over a virtual store: the chunk slab is gathered row-wise
+    from ``data_ref`` through the id grid (ids are 1-based rows)."""
+    Wp = item_q_start.shape[0]
+    S = items_per_step
+    steps = Wp // S
+    prec = (
+        jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
+    )
+
+    def body(_, inputs):
+        q_start, chunk_idx, valid = inputs
+        offs = q_start[:, None] + jnp.arange(qtile)[None, :]
+        qi = qidx[offs]  # (S, qtile)
+        qv = queries[jnp.maximum(qi, 0)]  # (S, qtile, d)
+        ids = chunk_ids[chunk_idx]  # (S, chunk)
+        cd = data_ref[jnp.maximum(ids - 1, 0)].astype(jnp.float32)
+        sims = jnp.einsum(
+            "sqd,scd->sqc", qv, cd,
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        dists = 1.0 - sims
+        dists = jnp.where(ids[:, None, :] == 0, jnp.inf, dists)
+        dists = jnp.where(qi[:, :, None] < 0, jnp.inf, dists)
+        dists = jnp.where(valid[:, None, None], dists, jnp.inf)
+        neg, pos = jax.lax.top_k(-dists, k)
+        cid = jnp.take_along_axis(
+            jnp.broadcast_to(ids[:, None, :], dists.shape), pos, axis=2
+        )
+        return None, (-neg, cid)
+
+    _, (cd_out, ci_out) = jax.lax.scan(
+        body,
+        None,
+        (
+            item_q_start.reshape(steps, S),
+            item_chunk.reshape(steps, S),
+            item_valid.reshape(steps, S),
+        ),
+    )
+    cand_d = cd_out.reshape(Wp * qtile, k)
+    cand_i = ci_out.reshape(Wp * qtile, k)
+    return cand_d, cand_i
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _merge_candidates(
     cand_d: jnp.ndarray,  # (R, k)
@@ -309,7 +422,8 @@ def scan_buckets(
     Functional equivalent of the reference's phase B
     (``LearnedIndex.py:107-146``) in two jitted device passes.
     """
-    queries = np.asarray(queries, dtype=np.float32)
+    if not isinstance(queries, jax.Array):
+        queries = np.asarray(queries, dtype=np.float32)
     plan = build_scan_plan(store, np.asarray(bucket_order), qtile=qtile)
 
     W = len(plan.item_chunk)
@@ -325,19 +439,31 @@ def scan_buckets(
     if len(qidx) == 0:
         qidx = np.full(qtile, -1, dtype=np.int32)
 
-    cand_d, cand_i = _scan_items(
-        jnp.asarray(queries),
-        jnp.asarray(qidx),
-        jnp.asarray(item_q_start),
-        jnp.asarray(item_chunk),
-        jnp.asarray(item_valid),
-        store.chunk_data,
-        store.chunk_ids,
-        k=k,
-        qtile=qtile,
-        items_per_step=items_per_step,
-        precision=precision,
+    common = dict(
+        k=k, qtile=qtile, items_per_step=items_per_step, precision=precision
     )
+    if store.chunk_data is not None:
+        cand_d, cand_i = _scan_items(
+            jnp.asarray(queries),
+            jnp.asarray(qidx),
+            jnp.asarray(item_q_start),
+            jnp.asarray(item_chunk),
+            jnp.asarray(item_valid),
+            store.chunk_data,
+            store.chunk_ids,
+            **common,
+        )
+    else:
+        cand_d, cand_i = _scan_items_virtual(
+            jnp.asarray(queries),
+            jnp.asarray(qidx),
+            jnp.asarray(item_q_start),
+            jnp.asarray(item_chunk),
+            jnp.asarray(item_valid),
+            store.data_ref,
+            store.chunk_ids,
+            **common,
+        )
     dists, ids = _merge_candidates(
         cand_d, cand_i, jnp.asarray(plan.cand_rows), k=k
     )

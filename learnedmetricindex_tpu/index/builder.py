@@ -44,9 +44,14 @@ from learnedmetricindex_tpu.utils.logging import Logger
 EMPTY_VALUE = -1  # cf. PriorityQueue.py:4
 
 
-def _as_array(data) -> np.ndarray:
-    """Accept a plain array or the reference's 1-indexed DataFrame
-    (``search/search.py:190-191``)."""
+def _as_array(data):
+    """Accept a plain array, a device-resident ``jax.Array`` (kept on
+    device — never pulled to the host), or the reference's 1-indexed
+    DataFrame (``search/search.py:190-191``)."""
+    import jax
+
+    if isinstance(data, jax.Array):
+        return data
     try:
         import pandas as pd
 
@@ -107,7 +112,8 @@ class LearnedIndexBuilder(Logger):
             s_cluster = time.perf_counter()
             for gid in np.nonzero(valid_nodes)[0]:
                 rows = np.nonzero(parent_gid == gid)[0]
-                subset = self.data[rows]
+                # avoid a full on-device copy when one node owns all rows
+                subset = self.data if len(rows) == n else self.data[rows]
                 if len(rows) < 2:
                     labels_full[rows] = 0
                     class_mask[gid, :1] = True
@@ -140,8 +146,15 @@ class LearnedIndexBuilder(Logger):
             cluster_t_total += cluster_t
 
             # ---- concurrent training of all node models --------------
+            import jax.numpy as jnp
+
             grouped = group_rows(
-                self.data, parent_gid, n_models, labels=labels_full, tile=4096
+                self.data,
+                parent_gid,
+                n_models,
+                labels=labels_full,
+                tile=4096,
+                dtype=jnp.dtype(cfg.dtype),
             )
             trainer = StackedNodeTrainer(
                 n_models,
@@ -153,11 +166,12 @@ class LearnedIndexBuilder(Logger):
                 seed=cfg.seed + level,
             )
             trainer.set_class_mask(class_mask)
-            preds_grouped, rounds = trainer.fit(grouped, params.epochs)
+            preds_slots, rounds = trainer.fit(grouped, params.epochs)
 
-            # scatter per-row predictions back to original order
-            valid_rows = np.asarray(grouped.labels) >= 0
-            data_prediction[grouped.row_perm, level] = preds_grouped[valid_rows]
+            # scatter per-slot predictions back to original row order
+            data_prediction[:, level] = grouped.scatter_to_rows(
+                preds_slots.astype(np.int64), n, fill=EMPTY_VALUE
+            )
 
             levels.append(
                 LevelModels(

@@ -114,6 +114,21 @@ class LearnedIndex(Logger):
         return int(self.leaf_valid.sum())
 
     # ------------------------------------------------------------------
+    # persistence (fixes the reference's unusable pickle checkpoint —
+    # no load path, data_prediction missing; search/search.py:234-241)
+    # ------------------------------------------------------------------
+    def save(self, path: str, data_prediction: Optional[np.ndarray] = None):
+        from learnedmetricindex_tpu.index.serialization import save_index
+
+        save_index(self, path, data_prediction)
+
+    @classmethod
+    def load(cls, path: str):
+        from learnedmetricindex_tpu.index.serialization import load_index
+
+        return load_index(path)
+
+    # ------------------------------------------------------------------
     # search
     # ------------------------------------------------------------------
     def bucket_ids_from_prediction(self, data_prediction: np.ndarray) -> np.ndarray:
@@ -137,13 +152,25 @@ class LearnedIndex(Logger):
             from learnedmetricindex_tpu.index.builder import _as_array
 
             bucket_ids = self.bucket_ids_from_prediction(data_prediction)
-            store = BucketStore.build(
-                _as_array(data_search),
-                bucket_ids,
-                n_buckets=int(np.prod(self.config.n_categories, dtype=np.int64)),
-                chunk=self.config.chunk_size,
-                dtype=jnp.dtype(self.config.dtype),
-            )
+            data_arr = _as_array(data_search)
+            n_total = int(np.prod(self.config.n_categories, dtype=np.int64))
+            if isinstance(data_arr, jax.Array):
+                # device-resident data: index-only virtual store, zero
+                # duplicate HBM, no host round-trip
+                store = BucketStore.build_virtual(
+                    data_arr,
+                    bucket_ids,
+                    n_buckets=n_total,
+                    chunk=self.config.chunk_size,
+                )
+            else:
+                store = BucketStore.build(
+                    data_arr,
+                    bucket_ids,
+                    n_buckets=n_total,
+                    chunk=self.config.chunk_size,
+                    dtype=jnp.dtype(self.config.dtype),
+                )
             self._store_cache = {key: store}  # keep at most one
         return store
 

@@ -27,6 +27,13 @@ reference's sequential per-path loop (``builder:240-278``): all sibling
 node models of a level train concurrently as one stacked pytree; models
 that reach class coverage are frozen (params and Adam state held) while
 the rest continue.
+
+**Virtual grouping.**  Rows are never physically re-sorted: the grouped
+layout is an *index* structure — slot ``s`` of the layout maps to
+original row ``slot_rows[s]`` — so a 10M×768 dataset is neither copied
+on the host nor duplicated in HBM.  Training batches and per-row
+prediction gather through ``slot_rows`` (two-level gather, negligible
+next to the feature gather itself).
 """
 
 from __future__ import annotations
@@ -50,63 +57,79 @@ NEG_INF = -1e9
 
 
 class GroupedData(NamedTuple):
-    """Rows sorted by owning model, packed into tile-aligned segments.
+    """Index-only grouped layout over an unmoved data array.
 
-    Each model's rows occupy ``[seg_starts[m], seg_starts[m] + seg_lens[m])``
-    in the sorted array; segments start on a tile boundary, so every tile
-    belongs to exactly one model (``tile_model``).  This is the same
-    layout discipline as the chunked bucket store — it makes
-    "run each row through its own model" a scan over tiles with one
-    cheap parameter gather per tile instead of a ragged per-model loop.
+    Slot space is tile-aligned per model: model ``m`` owns slots
+    ``[seg_starts[m], seg_starts[m] + seg_lens[m])`` (padded to a tile
+    boundary; every tile belongs to exactly one model, ``tile_model``).
+    ``slot_rows[s]`` is the original data row of slot ``s`` (-1 = pad).
     """
 
-    x: jnp.ndarray  # (n_tiles * tile, d) padded, sorted by model
-    labels: jnp.ndarray  # (n_tiles * tile,) int32, -1 on padding
+    x: jnp.ndarray  # (n_rows, d) device array, ORIGINAL order
+    slot_rows: jnp.ndarray  # (total_slots,) int32, -1 = pad
+    labels: jnp.ndarray  # (total_slots,) int32, -1 = pad
     tile_model: jnp.ndarray  # (n_tiles,) int32
     seg_starts: jnp.ndarray  # (n_models,) int32, tile-aligned
-    seg_lens: jnp.ndarray  # (n_models,) int32, true (unpadded) lengths
-    row_perm: np.ndarray  # (n_valid,) original row index of each sorted row
+    seg_lens: jnp.ndarray  # (n_models,) int32, true lengths
+    slot_rows_np: np.ndarray  # host copy of slot_rows (for scatters)
     tile: int
+
+    def scatter_to_rows(self, slot_values: np.ndarray, n_rows: int, fill=0):
+        """Scatter per-slot values back to original row order."""
+        out = np.full(n_rows, fill, dtype=np.asarray(slot_values).dtype)
+        valid = self.slot_rows_np >= 0
+        out[self.slot_rows_np[valid]] = np.asarray(slot_values)[valid]
+        return out
 
 
 def group_rows(
-    data: np.ndarray,
+    data,
     group_ids: np.ndarray,
     n_groups: int,
     labels: Optional[np.ndarray] = None,
     tile: int = 4096,
+    dtype=jnp.float32,
 ) -> GroupedData:
-    """Host-side layout: stable-sort rows by group, pad each group's
-    segment to a tile multiple (vectorized counting sort)."""
+    """Build the index-only grouped layout (vectorized counting sort on
+    row *indices*; the data itself is not touched).
+
+    ``data`` may be a host array (uploaded once, as ``dtype``) or an
+    already device-resident ``jax.Array`` (used as-is — important when
+    host↔device bandwidth is the bottleneck).
+    """
     group_ids = np.asarray(group_ids)
     order = np.argsort(group_ids, kind="stable")
     counts = np.bincount(group_ids, minlength=n_groups)
-    padded_counts = -(-counts // tile) * tile
-    padded_counts = np.maximum(padded_counts, tile)  # every model owns >=1 tile
+    padded_counts = np.maximum(-(-counts // tile) * tile, tile)
     seg_starts = np.concatenate([[0], np.cumsum(padded_counts)[:-1]])
     total = int(padded_counts.sum())
 
     src_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    positions = seg_starts[group_ids[order]] + (
+    slots = seg_starts[group_ids[order]] + (
         np.arange(len(order)) - src_starts[group_ids[order]]
     )
 
-    x = np.zeros((total, data.shape[1]), dtype=np.float32)
-    x[positions] = data[order]
+    slot_rows = np.full(total, -1, dtype=np.int32)
+    slot_rows[slots] = order
     lab = np.full(total, -1, dtype=np.int32)
     if labels is not None:
-        lab[positions] = np.asarray(labels, dtype=np.int32)[order]
+        lab[slots] = np.asarray(labels, dtype=np.int32)[order]
 
     tile_model = np.repeat(np.arange(n_groups), padded_counts // tile).astype(
         np.int32
     )
+    if isinstance(data, jax.Array):
+        x = data
+    else:
+        x = jnp.asarray(np.asarray(data), dtype=dtype)
     return GroupedData(
-        x=jnp.asarray(x),
+        x=x,
+        slot_rows=jnp.asarray(slot_rows),
         labels=jnp.asarray(lab),
         tile_model=jnp.asarray(tile_model),
         seg_starts=jnp.asarray(seg_starts.astype(np.int32)),
         seg_lens=jnp.asarray(counts.astype(np.int32)),
-        row_perm=order,
+        slot_rows_np=slot_rows,
         tile=tile,
     )
 
@@ -134,6 +157,7 @@ def _run_epochs(
     opt_state,
     key,
     x,
+    slot_rows,
     labels,
     seg_starts,
     seg_lens,
@@ -163,8 +187,9 @@ def _run_epochs(
         idx = seg_starts[:, None] + jax.random.randint(
             skey, (n_models, batch_size), 0, jnp.maximum(seg_lens, 1)[:, None]
         )
-        xb = x[idx]  # (M, B, d)
-        yb = labels[idx]  # (M, B)
+        rows = slot_rows[idx]  # (M, B) original rows, -1 only if seg empty
+        xb = x[jnp.maximum(rows, 0)].astype(jnp.float32)  # (M, B, d)
+        yb = jnp.where(rows >= 0, labels[idx], -1)  # (M, B)
         (_, per_model), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             p, xb, yb
         )
@@ -181,23 +206,27 @@ def _run_epochs(
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "n_classes"))
-def _predict_own_tiles(params, x, tile_model, class_mask, *, tile, n_classes):
-    """Per-row argmax prediction under the row's own model.
+def _predict_own_tiles(
+    params, x, slot_rows, tile_model, class_mask, *, tile, n_classes
+):
+    """Per-slot argmax prediction under the slot's own model.
 
     Scan over tiles; each tile gathers its one model's parameters (a few
-    MB at most) and does one matmul chain — no ragged per-model loops.
+    MB at most) plus its rows and does one matmul chain — no ragged
+    per-model loops.
     """
     n_tiles = tile_model.shape[0]
-    xt = x.reshape(n_tiles, tile, x.shape[-1])
+    srt = slot_rows.reshape(n_tiles, tile)
 
     def body(_, inputs):
-        m, xtile = inputs
+        m, rows = inputs
         p_m = jax.tree.map(lambda leaf: leaf[m], params)
+        xtile = x[jnp.maximum(rows, 0)].astype(jnp.float32)
         logits = mlp_apply(p_m, xtile)
         logits = jnp.where(class_mask[m][None, :], logits, NEG_INF)
         return None, jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    _, preds = jax.lax.scan(body, None, (tile_model, xt))
+    _, preds = jax.lax.scan(body, None, (tile_model, srt))
     return preds.reshape(n_tiles * tile)
 
 
@@ -254,7 +283,7 @@ class StackedNodeTrainer(Logger):
         epochs: int,
         max_rounds: int = 1000,
     ) -> Tuple[np.ndarray, int]:
-        """Train until covered; returns (per-row predictions over the
+        """Train until covered; returns (per-slot predictions over the
         grouped layout, number of rounds run).
 
         Raises ``RuntimeError`` after ``max_rounds`` rounds without full
@@ -274,6 +303,7 @@ class StackedNodeTrainer(Logger):
                 self.opt_state,
                 ekey,
                 grouped.x,
+                grouped.slot_rows,
                 grouped.labels,
                 grouped.seg_starts,
                 grouped.seg_lens,
@@ -287,6 +317,7 @@ class StackedNodeTrainer(Logger):
             preds = _predict_own_tiles(
                 self.params,
                 grouped.x,
+                grouped.slot_rows,
                 grouped.tile_model,
                 self.class_mask,
                 tile=grouped.tile,
@@ -321,12 +352,13 @@ class StackedNodeTrainer(Logger):
             )
         return np.asarray(preds), rounds
 
-    def predict_rows(self, grouped: GroupedData) -> np.ndarray:
-        """Per-row argmax under each row's own model (grouped layout)."""
+    def predict_slots(self, grouped: GroupedData) -> np.ndarray:
+        """Per-slot argmax under each slot's own model."""
         return np.asarray(
             _predict_own_tiles(
                 self.params,
                 grouped.x,
+                grouped.slot_rows,
                 grouped.tile_model,
                 self.class_mask,
                 tile=grouped.tile,
@@ -397,6 +429,7 @@ class NeuralNetwork(Logger):
             self._trainer.opt_state,
             ekey,
             grouped.x,
+            grouped.slot_rows,
             grouped.labels,
             grouped.seg_starts,
             grouped.seg_lens,
@@ -439,13 +472,11 @@ def train_until_covered(
     """Convenience single-model path: train until the model's own
     predictions use every class (``builder:183-194``); returns
     (trainer, per-row predictions in original row order)."""
-    data = np.asarray(data, np.float32)
+    n = len(data)
+    d = data.shape[1]
     trainer = StackedNodeTrainer(
-        1, data.shape[1], n_classes, model_type, lr, batch_size, seed
+        1, d, n_classes, model_type, lr, batch_size, seed
     )
-    grouped = group_rows(data, np.zeros(len(data), np.int64), 1, labels=labels)
-    preds_grouped, _ = trainer.fit(grouped, epochs, max_rounds)
-    preds = np.empty(len(data), np.int32)
-    valid = np.asarray(grouped.labels) >= 0
-    preds[grouped.row_perm] = preds_grouped[valid]
-    return trainer, preds
+    grouped = group_rows(data, np.zeros(n, np.int64), 1, labels=labels)
+    preds_slots, _ = trainer.fit(grouped, epochs, max_rounds)
+    return trainer, grouped.scatter_to_rows(preds_slots, n)

@@ -154,6 +154,7 @@ def kmeans(
     seed: int = 2023,
     tile_rows: int = 65536,
     round_sizes: bool = False,
+    max_points_per_centroid: int = 256,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Cluster ``data`` into ``n_clusters``; returns ``(centroids, labels)``.
 
@@ -165,14 +166,43 @@ def kmeans(
     ``round_sizes=True`` pads the row count to the next power of two so
     that many calls over variably-sized subsets (per-node clustering in
     the builder) reuse a bounded set of compiled programs.
+
+    ``max_points_per_centroid`` replicates faiss's training subsample
+    (``faiss.Clustering`` trains on at most ``256·k`` points by default,
+    which the reference inherits through ``faiss.Kmeans``,
+    ``clustering/faiss_kmeans.py:18-20``): when ``n`` exceeds the cap,
+    centroids are fit on a seeded uniform subsample and only the final
+    assignment touches every row.  Pass ``0`` to disable.
+
+    ``data`` may be a device-resident ``jax.Array`` — only a small
+    training subsample ever crosses to the host; assignment streams
+    device-side slices.
     """
-    data = np.asarray(data, dtype=np.float32)
+    is_device = isinstance(data, jax.Array)
     n, d = data.shape
     assert n_clusters >= 1
     if n < 2:
         # Reference guard: <2 points → single label (builder:290-291).
-        return data[:1].copy(), np.zeros(n, dtype=np.int32)
+        first = np.asarray(data[:1], dtype=np.float32)
+        return first, np.zeros(n, dtype=np.int32)
     n_clusters = min(n_clusters, n)
+
+    cap = max_points_per_centroid * n_clusters
+    if max_points_per_centroid and n > cap:
+        rng = np.random.default_rng(seed)
+        sample = np.sort(rng.choice(n, size=cap, replace=False))
+        subset = np.asarray(data[sample], dtype=np.float32)
+        centroids, _ = kmeans(
+            subset,
+            n_clusters,
+            n_iters=n_iters,
+            seed=seed,
+            tile_rows=tile_rows,
+            round_sizes=round_sizes,
+            max_points_per_centroid=0,
+        )
+        return centroids, kmeans_assign(centroids, data, tile_rows=tile_rows)
+    data = np.asarray(data, dtype=np.float32)
 
     if round_sizes:
         target = 256
@@ -198,21 +228,37 @@ def kmeans(
 
 def kmeans_assign(centroids, data, tile_rows: int = 65536) -> np.ndarray:
     """Assign each row of ``data`` to its nearest centroid (the reference's
-    ``kmeans.index.search(data, 1)``, ``clustering/faiss_kmeans.py:21``)."""
-    data = np.asarray(data, dtype=np.float32)
-    n = data.shape[0]
+    ``kmeans.index.search(data, 1)``, ``clustering/faiss_kmeans.py:21``).
+
+    Streams host data to the device in ``tile_rows`` blocks, so 10M×768
+    never needs a full-dataset device copy; ``data`` may also already be
+    a device array (streamed by slicing, no host copy).
+    """
+    n, d = data.shape
+    centroids_dev = jnp.asarray(np.asarray(centroids), dtype=jnp.float32)
     tile_rows = int(min(tile_rows, max(8, n)))
-    padded, n_valid = _pad_rows(data, tile_rows)
-    n_tiles = padded.shape[0] // tile_rows
-    labels = _assign_jit(
-        jnp.asarray(padded).reshape(n_tiles, tile_rows, -1),
-        jnp.asarray(centroids, dtype=jnp.float32),
-        jnp.int32(n_valid),
-        tile_rows=tile_rows,
+    out = np.empty(n, dtype=np.int32)
+    for start in range(0, n, tile_rows):
+        block = data[start : start + tile_rows]
+        rows = block.shape[0]
+        if rows < tile_rows:
+            pad_block = np.zeros((tile_rows, d), dtype=np.float32)
+            pad_block[:rows] = np.asarray(block, dtype=np.float32)
+            block = pad_block
+        labels = _assign_block(
+            jnp.asarray(block), centroids_dev
+        )
+        out[start : start + rows] = np.asarray(labels)[:rows]
+    return out
+
+
+@jax.jit
+def _assign_block(block, centroids):
+    sims = jnp.dot(
+        block.astype(jnp.float32),
+        centroids.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    return np.asarray(labels)[:n].astype(np.int32)
-
-
-@functools.partial(jax.jit, static_argnames=("tile_rows",))
-def _assign_jit(data_tiles, centroids, n_valid, *, tile_rows):
-    return _assign_tiles(data_tiles, centroids, n_valid, tile_rows)
+    c2 = jnp.sum(centroids * centroids, axis=1)[None, :]
+    return jnp.argmin(c2 - 2.0 * sims, axis=1).astype(jnp.int32)

@@ -50,45 +50,30 @@ def _dist_tile(queries: jnp.ndarray, tile: jnp.ndarray, metric: str) -> jnp.ndar
     raise ValueError(f"Unknown metric: {metric}")
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_rows", "metric"))
-def _exact_knn_device(
-    data: jnp.ndarray,
-    queries: jnp.ndarray,
-    n_valid: jnp.ndarray,
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _merge_block(
+    best_d: jnp.ndarray,  # (Q, k) running best
+    best_i: jnp.ndarray,  # (Q, k) running best ids (0-based)
+    queries: jnp.ndarray,  # (Q, d)
+    block: jnp.ndarray,  # (B, d) padded data block
+    base_id: jnp.ndarray,  # scalar: global row index of block[0]
+    n_valid: jnp.ndarray,  # scalar: valid rows in this block
     *,
     k: int,
-    tile_rows: int,
     metric: str,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Tiled exact kNN.  ``data`` must be pre-padded to a multiple of
-    ``tile_rows``; rows with index >= ``n_valid`` are masked to +inf."""
-    n = data.shape[0]
-    n_tiles = n // tile_rows
-    data_tiles = data.reshape(n_tiles, tile_rows, data.shape[1])
-
-    init_dists = jnp.full((queries.shape[0], k), jnp.inf, dtype=jnp.float32)
-    init_ids = jnp.zeros((queries.shape[0], k), dtype=jnp.int32)
-
-    def body(carry, inputs):
-        best_d, best_i = carry
-        tile_idx, tile = inputs
-        d = _dist_tile(queries, tile, metric)
-        ids = tile_idx * tile_rows + jax.lax.broadcasted_iota(
-            jnp.int32, d.shape, dimension=1
-        )
-        d = jnp.where(ids >= n_valid, jnp.inf, d)
-        cat_d = jnp.concatenate([best_d, d], axis=1)
-        cat_i = jnp.concatenate([best_i, ids], axis=1)
-        # top_k over negated distances; top_k is stable, so the running
-        # best (placed first) wins ties — earlier tiles take precedence,
-        # matching the reference's stable merge (LearnedIndex.py:134).
-        neg_d, pos = jax.lax.top_k(-cat_d, k)
-        return (-neg_d, jnp.take_along_axis(cat_i, pos, axis=1)), None
-
-    (dists, ids), _ = jax.lax.scan(
-        body, (init_dists, init_ids), (jnp.arange(n_tiles), data_tiles)
+    """Fold one data block into the running top-k (stable: the running
+    best is placed first, so earlier rows win ties — matching the
+    reference's stable merge, LearnedIndex.py:134)."""
+    d = _dist_tile(queries, block, metric)
+    ids = base_id + jax.lax.broadcasted_iota(jnp.int32, d.shape, dimension=1)
+    d = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) >= n_valid, jnp.inf, d
     )
-    return dists, ids
+    cat_d = jnp.concatenate([best_d, d], axis=1)
+    cat_i = jnp.concatenate([best_i, ids], axis=1)
+    neg_d, pos = jax.lax.top_k(-cat_d, k)
+    return -neg_d, jnp.take_along_axis(cat_i, pos, axis=1)
 
 
 def exact_knn(
@@ -98,35 +83,53 @@ def exact_knn(
     metric: str = "inner_product",
     tile_rows: int = 8192,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Exact k-nearest-neighbor search.
+    """Exact k-nearest-neighbor search, streamed over data blocks.
 
+    Host data is fed to the device ``tile_rows`` rows at a time, so the
+    full dataset never needs a device copy (10M×768 works on one chip).
     Returns ``(dists (n_q, k) float32, ids (n_q, k) uint32 1-based)``,
     sorted ascending by distance, ties broken toward smaller row index.
     """
     assert metric in METRICS
-    data = np.asarray(data, dtype=np.float32)
-    queries = np.asarray(queries, dtype=np.float32)
+    if not isinstance(queries, jax.Array):
+        queries = np.asarray(queries, dtype=np.float32)
     n, d = data.shape
     assert k >= 1 and queries.shape[1] == d
 
     tile_rows = int(min(tile_rows, max(8, n)))
-    pad = (-n) % tile_rows
-    if pad:
-        data_padded = np.concatenate(
-            [data, np.zeros((pad, d), dtype=np.float32)], axis=0
-        )
-    else:
-        data_padded = data
+    q_dev = jnp.asarray(queries)
+    best_d = jnp.full((queries.shape[0], k), jnp.inf, dtype=jnp.float32)
+    best_i = jnp.zeros((queries.shape[0], k), dtype=jnp.int32)
 
-    dists, ids = _exact_knn_device(
-        jnp.asarray(data_padded),
-        jnp.asarray(queries),
-        jnp.int32(n),
-        k=k,
-        tile_rows=tile_rows,
-        metric=metric,
-    )
-    return np.asarray(dists), (np.asarray(ids) + 1).astype(np.uint32)
+    for start in range(0, n, tile_rows):
+        block = data[start : start + tile_rows]
+        rows = block.shape[0]
+        if isinstance(block, jax.Array):
+            # device-resident data: slice/pad/cast stay on device
+            if rows < tile_rows:
+                block = jnp.pad(block, ((0, tile_rows - rows), (0, 0)))
+            block = block.astype(jnp.float32)
+        else:
+            block = np.asarray(block, dtype=np.float32)
+            if rows < tile_rows:
+                padded = np.zeros((tile_rows, d), dtype=np.float32)
+                padded[:rows] = block
+                block = padded
+            block = jnp.asarray(block)
+        best_d, best_i = _merge_block(
+            best_d,
+            best_i,
+            q_dev,
+            block,
+            jnp.int32(start),
+            jnp.int32(rows),
+            k=k,
+            metric=metric,
+        )
+
+    dists = np.asarray(best_d)
+    ids = np.asarray(best_i)
+    return dists, (ids + 1).astype(np.uint32)
 
 
 def recall(nns, gt_nns, k: int = 10) -> float:

@@ -101,6 +101,30 @@ def test_empty_bucket_zero_chunks():
     np.testing.assert_allclose(dists, ref_d, rtol=1e-4, atol=1e-5)
 
 
+def test_virtual_store_matches_packed():
+    import jax.numpy as jnp
+
+    data, queries, bucket_ids, store = _make_store()
+    vstore = BucketStore.build_virtual(jnp.asarray(data), bucket_ids, 7, chunk=64)
+    assert vstore.chunk_data is None and vstore.data_ref is not None
+    np.testing.assert_array_equal(
+        np.asarray(vstore.chunk_ids), np.asarray(store.chunk_ids)
+    )
+    np.testing.assert_array_equal(
+        vstore.bucket_chunk_start, store.bucket_chunk_start
+    )
+    rng = np.random.default_rng(3)
+    order = np.stack(
+        [rng.choice(7, size=3, replace=False) for _ in range(len(queries))]
+    ).astype(np.int64)
+    d_packed, i_packed = scan_buckets(store, queries, order, k=6)
+    d_virtual, i_virtual = scan_buckets(vstore, queries, order, k=6)
+    np.testing.assert_allclose(d_virtual, d_packed, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(i_virtual, i_packed)
+    # virtual mode adds only the id grid
+    assert vstore.nbytes() < store.nbytes() / 4
+
+
 def test_plan_candidate_rows_cover_all_pairs():
     data, queries, bucket_ids, store = _make_store(n=200, chunk=32)
     order = np.tile(np.array([0, 1, 2], dtype=np.int64), (len(queries), 1))

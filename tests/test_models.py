@@ -122,17 +122,24 @@ def test_group_rows_layout():
     np.testing.assert_array_equal(seg_lens, [3, 3, 4])
     # tile-aligned starts
     assert all(s % 4 == 0 for s in seg_starts)
-    # each model's rows are exactly its original rows (stable order)
-    x = np.asarray(g.x)
-    np.testing.assert_array_equal(x[seg_starts[0] : seg_starts[0] + 3], data[[1, 4, 9]])
-    np.testing.assert_array_equal(x[seg_starts[2] : seg_starts[2] + 4], data[[5, 6, 7, 8]])
-    # padding labeled -1
+    # virtual layout: x is the UNMOVED original data
+    np.testing.assert_array_equal(np.asarray(g.x), data)
+    # each model's slots map to exactly its original rows (stable order)
+    sr = g.slot_rows_np
+    np.testing.assert_array_equal(sr[seg_starts[0] : seg_starts[0] + 3], [1, 4, 9])
+    np.testing.assert_array_equal(sr[seg_starts[2] : seg_starts[2] + 4], [5, 6, 7, 8])
+    # padding: slot_rows and labels are -1
+    assert (sr[seg_starts[0] + 3 : seg_starts[1]] == -1).all()
     lab = np.asarray(g.labels)
     assert (lab[seg_starts[0] + 3 : seg_starts[1]] == -1).all()
     # tile_model maps every tile to its owner
-    np.testing.assert_array_equal(
-        np.asarray(g.tile_model), [0, 1, 2]
-    )
+    np.testing.assert_array_equal(np.asarray(g.tile_model), [0, 1, 2])
+    # scatter round-trip
+    vals = np.arange(len(sr), dtype=np.int32)
+    out = g.scatter_to_rows(vals, 10, fill=-1)
+    for slot, row in enumerate(sr):
+        if row >= 0:
+            assert out[row] == slot
 
 
 def test_class_mask_excludes_untrained_classes():
