@@ -33,7 +33,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def gen_blobs_on_device(n, d, n_clusters, seed, n_queries, dtype, block=1_000_000):
+def gen_blobs_on_device(n, d, n_clusters, seed, n_queries, dtype, block=500_000):
     """Generate a unit-norm clustered corpus directly INTO a persistent
     device buffer (donated updates; nothing crosses the host)."""
     import jax
@@ -47,13 +47,13 @@ def gen_blobs_on_device(n, d, n_clusters, seed, n_queries, dtype, block=1_000_00
     # overlapping, CLIP-like (a raw per-dim std would be isotropic mush)
     noise = 0.45 / float(np.sqrt(d))
 
-    @functools.partial(jax.jit, static_argnames=("rows",))
-    def make_block(bkey, rows):
+    @functools.partial(jax.jit, static_argnames=("rows", "out_dtype"))
+    def make_block(bkey, rows, out_dtype=jnp.float32):
         akey, nkey = jax.random.split(bkey)
         assign = jax.random.randint(akey, (rows,), 0, n_clusters)
         x = centers[assign] + noise * jax.random.normal(nkey, (rows, d), jnp.float32)
         x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
-        return x
+        return x.astype(out_dtype)
 
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("start",))
     def write_block(buf, blk, *, start):
@@ -66,7 +66,7 @@ def gen_blobs_on_device(n, d, n_clusters, seed, n_queries, dtype, block=1_000_00
     while made < n:
         rows = min(block, n - made)
         key, bkey = jax.random.split(key)
-        buf = write_block(buf, make_block(bkey, rows), start=made)
+        buf = write_block(buf, make_block(bkey, rows, dtype), start=made)
         made += rows
     buf.block_until_ready()
     key, qkey = jax.random.split(key)
@@ -76,7 +76,7 @@ def gen_blobs_on_device(n, d, n_clusters, seed, n_queries, dtype, block=1_000_00
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--n", type=int, default=10_000_000)
+    p.add_argument("--n", type=int, default=9_000_000)
     p.add_argument("--d", type=int, default=768)
     p.add_argument("--buckets", type=int, default=120)
     p.add_argument("--visit", type=int, default=4)
@@ -90,6 +90,8 @@ def main():
     p.add_argument("--chunk", type=int, default=2048)
     p.add_argument("--latent-clusters", type=int, default=256)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--approx-recall", type=float, default=0.99,
+                   help="per-item approx top-k recall target; 0 = exact")
     p.add_argument("--quick", action="store_true",
                    help="small smoke config (200K x 96)")
     args = p.parse_args()
@@ -116,7 +118,7 @@ def main():
 
     log(f"ground truth for {args.gt_queries} queries (device-resident) ...")
     t0 = time.perf_counter()
-    _, gt = exact_knn(data, queries[: args.gt_queries], k=10, tile_rows=262_144)
+    _, gt = exact_knn(data, queries[: args.gt_queries], k=10, tile_rows=131_072)
     log(f"  gt in {time.perf_counter() - t0:.1f}s")
 
     cfg = lmi.BuildConfiguration(
@@ -139,9 +141,10 @@ def main():
 
     log("bucket store + warmup search ...")
     t0 = time.perf_counter()
+    approx = args.approx_recall if args.approx_recall > 0 else None
     _, warm_anns, warm_t = index.search(
         data, queries, data, queries, pred, cfg.n_categories,
-        n_buckets=args.visit, k=10,
+        n_buckets=args.visit, k=10, approx_recall=approx,
     )
     log(f"  warmup (incl. store build + compile): {time.perf_counter() - t0:.1f}s "
         f"[{ {k: round(v, 3) for k, v in warm_t.items()} }]")
@@ -150,7 +153,7 @@ def main():
     for rep in range(args.reps):
         _, anns, t = index.search(
             data, queries, data, queries, pred, cfg.n_categories,
-            n_buckets=args.visit, k=10,
+            n_buckets=args.visit, k=10, approx_recall=approx,
         )
         times.append(t["search"])
         log(f"  rep {rep}: search={t['search']:.3f}s "

@@ -165,7 +165,7 @@ class ScanPlan(NamedTuple):
     qidx: np.ndarray  # (QP,) query index per padded pair slot, -1 = pad
     item_q_start: np.ndarray  # (W,) slot offset of each item's query tile
     item_chunk: np.ndarray  # (W,) chunk processed by each item
-    cand_rows: np.ndarray  # (Q, max_items) candidate-row index, -1 = pad
+    n_queries: int
     qtile: int
 
 
@@ -216,51 +216,35 @@ def build_scan_plan(
     item_q_start[:] = (pad_starts[rep_b] + t_of_item * qtile).astype(np.int32)
     item_chunk[:] = (starts[rep_b] + c_of_item).astype(np.int32)
 
-    # --- candidate-row plan per query -------------------------------
-    # pair (q, b) at padded slot p contributes rows
-    #   (item_base[b] + (p - pad_starts[b])//qtile * nchunks[b] + c) * qtile
-    #   + (p - pad_starts[b]) % qtile            for c in [0, nchunks[b])
-    within_pair = slot - pad_starts[b_sorted]
-    first_item = (
-        item_base[b_sorted] + (within_pair // qtile) * nchunks[b_sorted]
-    )
-    row_off = within_pair % qtile
-    n_items_q = np.zeros(Q, dtype=np.int64)
-    np.add.at(n_items_q, q_sorted, nchunks[b_sorted])
-    max_items = max(int(n_items_q.max()) if Q else 1, 1)
-
-    cand_rows = np.full((Q, max_items), -1, dtype=np.int64)
-    # expand: each pair yields nchunks[b] rows
-    rows_per_pair = nchunks[b_sorted]
-    tot_rows = int(rows_per_pair.sum())
-    rep_pair = np.repeat(np.arange(len(b_sorted)), rows_per_pair)
-    pair_starts = np.concatenate([[0], np.cumsum(rows_per_pair)[:-1]])
-    c_seq = np.arange(tot_rows, dtype=np.int64) - pair_starts[rep_pair]
-    flat_rows = (first_item[rep_pair] + c_seq) * qtile + row_off[rep_pair]
-    row_q = q_sorted[rep_pair]
-    # position of each row within its query's candidate list
-    qpos_counter = np.zeros(Q, dtype=np.int64)
-    # stable per-query running position via argsort trick
-    order_q = np.argsort(row_q, kind="stable")
-    qsorted_rows = row_q[order_q]
-    q_run_start = np.concatenate(
-        [[0], np.cumsum(np.bincount(qsorted_rows, minlength=Q))[:-1]]
-    )
-    pos_in_q = np.arange(tot_rows) - q_run_start[qsorted_rows]
-    cand_rows[qsorted_rows, pos_in_q] = flat_rows[order_q]
-
     return ScanPlan(
         qidx=qidx,
         item_q_start=item_q_start,
         item_chunk=item_chunk,
-        cand_rows=cand_rows,
+        n_queries=Q,
         qtile=qtile,
     )
 
 
+def _item_topk(dists, k, approx_recall):
+    """Per-row smallest-k of an item's distance block.
+
+    ``lax.top_k`` lowers to a (slow) sort on TPU; ``lax.approx_max_k``
+    is the hardware PartialReduce op (TPU-KNN, arXiv:2206.14286) and
+    runs at memory speed.  ``approx_recall=None`` keeps the exact path.
+    """
+    if approx_recall is None:
+        neg, pos = jax.lax.top_k(-dists, k)
+    else:
+        neg, pos = jax.lax.approx_max_k(
+            -dists, k, recall_target=float(approx_recall)
+        )
+    return -neg, pos
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "qtile", "items_per_step", "precision"),
+    static_argnames=("k", "qtile", "items_per_step", "precision",
+                     "approx_recall"),
 )
 def _scan_items(
     queries: jnp.ndarray,  # (Q, d)
@@ -275,8 +259,13 @@ def _scan_items(
     qtile: int,
     items_per_step: int,
     precision: str,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Phase 1: per-item distances + top-k candidates."""
+    approx_recall=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Phase 1 (packed): per-item distances + top-k candidates.
+
+    Chunk slabs are read with per-item ``dynamic_slice`` (contiguous
+    DMA); an index-array gather here lowers ~200× slower on TPU.
+    """
     Wp = item_q_start.shape[0]
     S = items_per_step
     steps = Wp // S
@@ -289,8 +278,18 @@ def _scan_items(
         offs = q_start[:, None] + jnp.arange(qtile)[None, :]
         qi = qidx[offs]  # (S, qtile)
         qv = queries[jnp.maximum(qi, 0)]  # (S, qtile, d)
-        cd = chunk_data[chunk_idx].astype(jnp.float32)  # (S, chunk, d)
-        ids = chunk_ids[chunk_idx]  # (S, chunk)
+        cd = jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(chunk_data, chunk_idx[j], 1, 0)[0]
+                for j in range(S)
+            ]
+        ).astype(jnp.float32)  # (S, chunk, d)
+        ids = jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(chunk_ids, chunk_idx[j], 1, 0)[0]
+                for j in range(S)
+            ]
+        )  # (S, chunk)
         sims = jnp.einsum(
             "sqd,scd->sqc", qv, cd,
             preferred_element_type=jnp.float32,
@@ -300,13 +299,13 @@ def _scan_items(
         dists = jnp.where(ids[:, None, :] == 0, jnp.inf, dists)
         dists = jnp.where(qi[:, :, None] < 0, jnp.inf, dists)
         dists = jnp.where(valid[:, None, None], dists, jnp.inf)
-        neg, pos = jax.lax.top_k(-dists, k)  # (S, qtile, k)
+        neg, pos = _item_topk(dists, k, approx_recall)  # (S, qtile, k)
         cid = jnp.take_along_axis(
             jnp.broadcast_to(ids[:, None, :], dists.shape), pos, axis=2
         )
-        return None, (-neg, cid)
+        return None, (neg, cid, qi)
 
-    _, (cd_out, ci_out) = jax.lax.scan(
+    _, (cd_out, ci_out, cq_out) = jax.lax.scan(
         body,
         None,
         (
@@ -318,12 +317,14 @@ def _scan_items(
     # (steps, S, qtile, k) → (Wp * qtile, k)
     cand_d = cd_out.reshape(Wp * qtile, k)
     cand_i = ci_out.reshape(Wp * qtile, k)
-    return cand_d, cand_i
+    cand_q = cq_out.reshape(Wp * qtile)
+    return cand_d, cand_i, cand_q
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "qtile", "items_per_step", "precision"),
+    static_argnames=("k", "qtile", "items_per_step", "precision",
+                     "approx_recall"),
 )
 def _scan_items_virtual(
     queries: jnp.ndarray,  # (Q, d)
@@ -338,7 +339,8 @@ def _scan_items_virtual(
     qtile: int,
     items_per_step: int,
     precision: str,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    approx_recall=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Phase 1 over a virtual store: the chunk slab is gathered row-wise
     from ``data_ref`` through the id grid (ids are 1-based rows)."""
     Wp = item_q_start.shape[0]
@@ -353,7 +355,12 @@ def _scan_items_virtual(
         offs = q_start[:, None] + jnp.arange(qtile)[None, :]
         qi = qidx[offs]  # (S, qtile)
         qv = queries[jnp.maximum(qi, 0)]  # (S, qtile, d)
-        ids = chunk_ids[chunk_idx]  # (S, chunk)
+        ids = jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(chunk_ids, chunk_idx[j], 1, 0)[0]
+                for j in range(S)
+            ]
+        )  # (S, chunk)
         cd = data_ref[jnp.maximum(ids - 1, 0)].astype(jnp.float32)
         sims = jnp.einsum(
             "sqd,scd->sqc", qv, cd,
@@ -364,13 +371,13 @@ def _scan_items_virtual(
         dists = jnp.where(ids[:, None, :] == 0, jnp.inf, dists)
         dists = jnp.where(qi[:, :, None] < 0, jnp.inf, dists)
         dists = jnp.where(valid[:, None, None], dists, jnp.inf)
-        neg, pos = jax.lax.top_k(-dists, k)
+        neg, pos = _item_topk(dists, k, approx_recall)
         cid = jnp.take_along_axis(
             jnp.broadcast_to(ids[:, None, :], dists.shape), pos, axis=2
         )
-        return None, (-neg, cid)
+        return None, (neg, cid, qi)
 
-    _, (cd_out, ci_out) = jax.lax.scan(
+    _, (cd_out, ci_out, cq_out) = jax.lax.scan(
         body,
         None,
         (
@@ -381,30 +388,46 @@ def _scan_items_virtual(
     )
     cand_d = cd_out.reshape(Wp * qtile, k)
     cand_i = ci_out.reshape(Wp * qtile, k)
-    return cand_d, cand_i
+    cand_q = cq_out.reshape(Wp * qtile)
+    return cand_d, cand_i, cand_q
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "n_queries"))
 def _merge_candidates(
     cand_d: jnp.ndarray,  # (R, k)
     cand_i: jnp.ndarray,  # (R, k)
-    cand_rows: jnp.ndarray,  # (Q, max_items) row indices, -1 pad
+    cand_q: jnp.ndarray,  # (R,) owning query of each candidate row, -1 pad
     *,
     k: int,
+    n_queries: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Phase 2: gather each query's candidates and take the global top-k."""
-    rows = jnp.maximum(cand_rows, 0)
-    d = cand_d[rows]  # (Q, max_items, k)
-    i = cand_i[rows]
-    d = jnp.where((cand_rows < 0)[:, :, None], jnp.inf, d)
-    Q, M, _ = d.shape
-    d = d.reshape(Q, M * k)
-    i = i.reshape(Q, M * k)
-    neg, pos = jax.lax.top_k(-d, k)
-    dists = -neg
-    ids = jnp.take_along_axis(i, pos, axis=1)
-    ids = jnp.where(jnp.isinf(dists), 0, ids)  # cf. LearnedIndex.py:340-341
-    return dists, ids
+    """Phase 2: global per-query top-k via one stable multi-key sort.
+
+    A gather-based merge (index candidate rows per query) lowers to
+    millions of tiny slice-gathers, which XLA:TPU executes pathologically
+    slowly; sorting all candidates by ``(query, distance)`` and slicing
+    the first k per query is orders of magnitude faster on the VPU.  The
+    sort is stable, so equal distances resolve toward the earlier
+    candidate (bucket-index order), mirroring the reference's stable
+    merge (``LearnedIndex.py:125-146``).
+    """
+    R = cand_d.shape[0]
+    q_key = jnp.where(cand_q < 0, n_queries, cand_q).astype(jnp.int32)
+    q_rep = jnp.repeat(q_key, k, total_repeat_length=R * k)
+    d_flat = cand_d.reshape(R * k)
+    i_flat = cand_i.reshape(R * k)
+    q_s, d_s, i_s = jax.lax.sort((q_rep, d_flat, i_flat), num_keys=2)
+
+    starts = jnp.searchsorted(q_s, jnp.arange(n_queries, dtype=jnp.int32))
+    idx = jnp.minimum(starts[:, None] + jnp.arange(k)[None, :], R * k - 1)
+    out_d = d_s[idx]
+    out_i = i_s[idx]
+    valid = (q_s[idx] == jnp.arange(n_queries, dtype=jnp.int32)[:, None]) & (
+        ~jnp.isinf(out_d)
+    )
+    out_d = jnp.where(valid, out_d, jnp.inf)
+    out_i = jnp.where(valid, out_i, 0)  # cf. LearnedIndex.py:340-341
+    return out_d, out_i
 
 
 def scan_buckets(
@@ -415,6 +438,7 @@ def scan_buckets(
     qtile: int = 128,
     items_per_step: int = 8,
     precision: str = "highest",
+    approx_recall=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact kNN over each query's visit set.
 
@@ -440,10 +464,11 @@ def scan_buckets(
         qidx = np.full(qtile, -1, dtype=np.int32)
 
     common = dict(
-        k=k, qtile=qtile, items_per_step=items_per_step, precision=precision
+        k=k, qtile=qtile, items_per_step=items_per_step, precision=precision,
+        approx_recall=approx_recall,
     )
     if store.chunk_data is not None:
-        cand_d, cand_i = _scan_items(
+        cand_d, cand_i, cand_q = _scan_items(
             jnp.asarray(queries),
             jnp.asarray(qidx),
             jnp.asarray(item_q_start),
@@ -454,7 +479,7 @@ def scan_buckets(
             **common,
         )
     else:
-        cand_d, cand_i = _scan_items_virtual(
+        cand_d, cand_i, cand_q = _scan_items_virtual(
             jnp.asarray(queries),
             jnp.asarray(qidx),
             jnp.asarray(item_q_start),
@@ -465,6 +490,6 @@ def scan_buckets(
             **common,
         )
     dists, ids = _merge_candidates(
-        cand_d, cand_i, jnp.asarray(plan.cand_rows), k=k
+        cand_d, cand_i, cand_q, k=k, n_queries=plan.n_queries
     )
     return np.asarray(dists), np.asarray(ids).astype(np.uint32)

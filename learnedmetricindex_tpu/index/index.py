@@ -194,7 +194,10 @@ class LearnedIndex(Logger):
         inference seconds).
         """
         s = time.perf_counter()
-        q = jnp.asarray(np.asarray(queries_navigation, dtype=np.float32))
+        if isinstance(queries_navigation, jax.Array):
+            q = queries_navigation.astype(jnp.float32)
+        else:
+            q = jnp.asarray(np.asarray(queries_navigation, dtype=np.float32))
         level_probs, level_valid = self._tree_probs(q)
 
         if self.n_levels == 1:
@@ -223,6 +226,7 @@ class LearnedIndex(Logger):
         n_buckets: int = 1,
         k: int = 10,
         policy: str = "best_first",
+        approx_recall: Optional[float] = None,
     ):
         """Search ``k`` nearest neighbors in the ``n_buckets`` most
         probable buckets per query (cf. ``LearnedIndex.search``,
@@ -230,6 +234,9 @@ class LearnedIndex(Logger):
 
         ``data_navigation`` and ``n_categories`` are accepted for
         signature parity; navigation state lives in the index itself.
+
+        ``approx_recall``: per-scan-item recall target for the hardware
+        approximate top-k (``lax.approx_max_k``); ``None`` = exact.
         """
         measured: Dict[str, float] = {
             "inference": 0.0,
@@ -247,12 +254,18 @@ class LearnedIndex(Logger):
         store = self.get_bucket_store(data_search, data_prediction)
 
         s_scan = time.perf_counter()
+        q_search = (
+            queries_search
+            if isinstance(queries_search, jax.Array)
+            else np.asarray(queries_search, dtype=np.float32)
+        )
         dists, anns = scan_buckets(
             store,
-            np.asarray(queries_search, dtype=np.float32),
+            q_search,
             order,
             k=k,
             precision="highest" if self.config.dtype == "float32" else "default",
+            approx_recall=approx_recall,
         )
         t_scan = time.perf_counter() - s_scan
         measured["search_within_buckets"] = t_scan

@@ -195,9 +195,9 @@ def make_sharded_scan(mesh: Mesh, k: int, qtile: int):
     item_s = NamedSharding(mesh, P(devs))
     repl = NamedSharding(mesh, P())
 
-    @functools.partial(jax.jit, static_argnames=())
+    @functools.partial(jax.jit, static_argnames=("n_queries",))
     def scan_fn(queries, qidx, item_q_start, item_chunk, item_valid,
-                chunk_data, chunk_ids, cand_rows):
+                chunk_data, chunk_ids, *, n_queries):
         offs = item_q_start[:, None] + jnp.arange(qtile)[None, :]
         qi = qidx[offs]  # (W, qtile)
         qv = queries[jnp.maximum(qi, 0)]  # (W, qtile, d)
@@ -217,25 +217,34 @@ def make_sharded_scan(mesh: Mesh, k: int, qtile: int):
         W = qi.shape[0]
         cand_d = (-neg).reshape(W * qtile, k)
         cand_i = cid.reshape(W * qtile, k)
+        cand_q = qi.reshape(W * qtile)
 
-        rows = jnp.maximum(cand_rows, 0)
-        d = jnp.where((cand_rows < 0)[:, :, None], jnp.inf, cand_d[rows])
-        i = cand_i[rows]
-        Q, M, _ = d.shape
-        neg2, pos2 = jax.lax.top_k(-d.reshape(Q, M * k), k)
-        out_d = -neg2
-        out_i = jnp.take_along_axis(i.reshape(Q, M * k), pos2, axis=1)
-        out_i = jnp.where(jnp.isinf(out_d), 0, out_i)
+        # sort-based merge (see bucket_store._merge_candidates): XLA
+        # inserts the cross-shard collectives for the global sort
+        R = W * qtile
+        q_key = jnp.where(cand_q < 0, n_queries, cand_q).astype(jnp.int32)
+        q_rep = jnp.repeat(q_key, k, total_repeat_length=R * k)
+        q_s, d_s, i_s = jax.lax.sort(
+            (q_rep, cand_d.reshape(R * k), cand_i.reshape(R * k)), num_keys=2
+        )
+        starts = jnp.searchsorted(q_s, jnp.arange(n_queries, dtype=jnp.int32))
+        idx = jnp.minimum(starts[:, None] + jnp.arange(k)[None, :], R * k - 1)
+        out_d = d_s[idx]
+        out_i = i_s[idx]
+        valid = (
+            q_s[idx] == jnp.arange(n_queries, dtype=jnp.int32)[:, None]
+        ) & (~jnp.isinf(out_d))
+        out_d = jnp.where(valid, out_d, jnp.inf)
+        out_i = jnp.where(valid, out_i, 0)
         return out_d, out_i
 
-    def place(queries, qidx, item_q_start, item_chunk, item_valid, cand_rows):
+    def place(queries, qidx, item_q_start, item_chunk, item_valid):
         return (
             jax.device_put(queries, repl),
             jax.device_put(qidx, repl),
             jax.device_put(item_q_start, item_s),
             jax.device_put(item_chunk, item_s),
             jax.device_put(item_valid, item_s),
-            jax.device_put(cand_rows, repl),
         )
 
     return scan_fn, place

@@ -125,11 +125,23 @@ def test_virtual_store_matches_packed():
     assert vstore.nbytes() < store.nbytes() / 4
 
 
-def test_plan_candidate_rows_cover_all_pairs():
+def test_plan_items_cover_all_pairs():
     data, queries, bucket_ids, store = _make_store(n=200, chunk=32)
     order = np.tile(np.array([0, 1, 2], dtype=np.int64), (len(queries), 1))
     plan = build_scan_plan(store, order, qtile=16)
+    assert plan.n_queries == len(queries)
     nchunks = store.bucket_chunk_start[1:] - store.bucket_chunk_start[:-1]
-    expected = int(nchunks[:3].sum())
-    got = (plan.cand_rows >= 0).sum(axis=1)
-    np.testing.assert_array_equal(got, expected)
+    # every (query, chunk) pair appears exactly once across the items
+    seen = {}
+    for q_start, c in zip(plan.item_q_start, plan.item_chunk):
+        for slot in range(q_start, q_start + 16):
+            q = plan.qidx[slot]
+            if q >= 0:
+                seen[(q, c)] = seen.get((q, c), 0) + 1
+    chunk_of = np.repeat(np.arange(3), nchunks[:3])
+    for q in range(len(queries)):
+        for b in range(3):
+            lo, hi = store.bucket_chunk_start[b], store.bucket_chunk_start[b + 1]
+            for c in range(lo, hi):
+                assert seen.pop((q, c)) == 1
+    assert not seen

@@ -113,10 +113,9 @@ def test_sharded_scan_matches_single_device():
     iv = np.zeros(Wp, bool); iv[:W] = True
 
     scan_fn, place = make_sharded_scan(mesh, k=k, qtile=qtile)
-    placed = place(queries.astype(np.float32), plan.qidx, iq, ic, iv,
-                   plan.cand_rows)
-    out_d, out_i = scan_fn(*placed[:5], store.chunk_data, store.chunk_ids,
-                           placed[5])
+    placed = place(queries.astype(np.float32), plan.qidx, iq, ic, iv)
+    out_d, out_i = scan_fn(*placed, store.chunk_data, store.chunk_ids,
+                           n_queries=plan.n_queries)
     np.testing.assert_allclose(np.asarray(out_d), ref_d, rtol=1e-4, atol=1e-5)
     # id sets agree (ties may permute within equal distances)
     assert (np.asarray(out_i) == ref_i.astype(np.int32)).mean() > 0.99
