@@ -88,23 +88,22 @@ class BucketStore(NamedTuple):
         else:
             object_ids = np.asarray(object_ids, dtype=np.int32)
 
-        order = np.argsort(bucket_ids, kind="stable")
-        counts = np.bincount(bucket_ids, minlength=n_buckets)
+        from learnedmetricindex_tpu import native
+
+        counts = native.bincount(bucket_ids, n_buckets)
         nchunks = -(-counts // chunk)  # empty bucket → 0 chunks
         starts = np.concatenate([[0], np.cumsum(nchunks)]).astype(np.int32)
         total_chunks = int(starts[-1])
 
         padded = total_chunks * chunk
-        src_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        positions = (
-            starts[bucket_ids[order]].astype(np.int64) * chunk
-            + np.arange(n)
-            - src_starts[bucket_ids[order]]
+        slot_rows, _ = native.fill_slots(
+            bucket_ids, starts.astype(np.int64) * chunk, padded
         )
+        valid = slot_rows >= 0
         flat = np.zeros((padded, d), dtype=np.float32)
-        flat[positions] = data[order]
+        flat[valid] = data[slot_rows[valid]]
         ids = np.zeros(padded, dtype=np.int32)
-        ids[positions] = object_ids[order]
+        ids[valid] = object_ids[slot_rows[valid]]
 
         return cls(
             chunk_data=jnp.asarray(flat.reshape(total_chunks, chunk, d), dtype=dtype),
@@ -126,24 +125,21 @@ class BucketStore(NamedTuple):
         """Index-only layout over an unmoved device array: only the
         (n_chunks, chunk) id grid is materialized (host-side counting
         sort on indices; the 10M×768 data itself never moves)."""
+        from learnedmetricindex_tpu import native
+
         bucket_ids = np.asarray(bucket_ids)
         n = bucket_ids.shape[0]
         assert data_ref.shape[0] >= n
 
-        order = np.argsort(bucket_ids, kind="stable")
-        counts = np.bincount(bucket_ids, minlength=n_buckets)
+        counts = native.bincount(bucket_ids, n_buckets)
         nchunks = -(-counts // chunk)
         starts = np.concatenate([[0], np.cumsum(nchunks)]).astype(np.int32)
         total_chunks = int(starts[-1])
 
-        src_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        positions = (
-            starts[bucket_ids[order]].astype(np.int64) * chunk
-            + np.arange(n)
-            - src_starts[bucket_ids[order]]
+        # 1-based object ids == row + 1, filled by the native engine
+        ids = native.fill_slots_1based(
+            bucket_ids, starts.astype(np.int64) * chunk, total_chunks * chunk
         )
-        ids = np.zeros(total_chunks * chunk, dtype=np.int32)
-        ids[positions] = order + 1  # 1-based object ids == row + 1
 
         return cls(
             data_ref=data_ref,
@@ -450,8 +446,16 @@ def scan_buckets(
         queries = np.asarray(queries, dtype=np.float32)
     plan = build_scan_plan(store, np.asarray(bucket_order), qtile=qtile)
 
+    def _quantize(size: int, multiple: int) -> int:
+        """Round up to a 1/8-octave boundary (≤12.5% padding) so the
+        number of distinct compiled shapes stays logarithmic — the
+        sort-based merge in particular compiles slowly per shape."""
+        size = max(size, multiple)
+        step = max(1 << max(size.bit_length() - 4, 0), multiple)
+        return -(-size // step) * step
+
     W = len(plan.item_chunk)
-    Wp = max(-(-W // items_per_step) * items_per_step, items_per_step)
+    Wp = _quantize(max(W, 1), items_per_step)
     item_q_start = np.zeros(Wp, dtype=np.int32)
     item_chunk = np.zeros(Wp, dtype=np.int32)
     item_valid = np.zeros(Wp, dtype=bool)
@@ -460,8 +464,11 @@ def scan_buckets(
     item_valid[:W] = True
 
     qidx = plan.qidx
-    if len(qidx) == 0:
-        qidx = np.full(qtile, -1, dtype=np.int32)
+    QP = _quantize(max(len(qidx), 1), qtile)
+    if QP != len(qidx):
+        qidx = np.concatenate(
+            [qidx, np.full(QP - len(qidx), -1, dtype=np.int32)]
+        )
 
     common = dict(
         k=k, qtile=qtile, items_per_step=items_per_step, precision=precision,

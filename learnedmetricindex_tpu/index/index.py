@@ -135,12 +135,11 @@ class LearnedIndex(Logger):
         """Dense global bucket id per data row (row-major over the path,
         the analog of the reference's ``category_L*`` annotation,
         ``LearnedIndex.py:101-104``)."""
-        dims = tuple(self.config.n_categories)
-        cols = tuple(
-            np.asarray(data_prediction[:, l], dtype=np.int64)
-            for l in range(len(dims))
+        from learnedmetricindex_tpu import native
+
+        return native.ravel_rows(
+            np.asarray(data_prediction), tuple(self.config.n_categories)
         )
-        return np.ravel_multi_index(cols, dims)
 
     def get_bucket_store(
         self, data_search, data_prediction: np.ndarray

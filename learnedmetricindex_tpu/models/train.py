@@ -97,23 +97,19 @@ def group_rows(
     already device-resident ``jax.Array`` (used as-is — important when
     host↔device bandwidth is the bottleneck).
     """
+    from learnedmetricindex_tpu import native
+
     group_ids = np.asarray(group_ids)
-    order = np.argsort(group_ids, kind="stable")
-    counts = np.bincount(group_ids, minlength=n_groups)
+    counts = native.bincount(group_ids, n_groups)
     padded_counts = np.maximum(-(-counts // tile) * tile, tile)
     seg_starts = np.concatenate([[0], np.cumsum(padded_counts)[:-1]])
     total = int(padded_counts.sum())
 
-    src_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    slots = seg_starts[group_ids[order]] + (
-        np.arange(len(order)) - src_starts[group_ids[order]]
+    slot_rows, lab = native.fill_slots(
+        group_ids, seg_starts, total, labels=labels
     )
-
-    slot_rows = np.full(total, -1, dtype=np.int32)
-    slot_rows[slots] = order
-    lab = np.full(total, -1, dtype=np.int32)
-    if labels is not None:
-        lab[slots] = np.asarray(labels, dtype=np.int32)[order]
+    if lab is None:
+        lab = np.full(total, -1, dtype=np.int32)
 
     tile_model = np.repeat(np.arange(n_groups), padded_counts // tile).astype(
         np.int32

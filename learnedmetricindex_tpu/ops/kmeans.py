@@ -191,17 +191,35 @@ def kmeans(
     if max_points_per_centroid and n > cap:
         rng = np.random.default_rng(seed)
         sample = np.sort(rng.choice(n, size=cap, replace=False))
-        subset = np.asarray(data[sample], dtype=np.float32)
-        centroids, _ = kmeans(
-            subset,
-            n_clusters,
-            n_iters=n_iters,
-            seed=seed,
-            tile_rows=tile_rows,
-            round_sizes=round_sizes,
-            max_points_per_centroid=0,
-        )
-        return centroids, kmeans_assign(centroids, data, tile_rows=tile_rows)
+        if is_device:
+            # gather + cluster the subsample fully on device — nothing
+            # crosses the (slow) host link except the final centroids
+            subset = data[jnp.asarray(sample)].astype(jnp.float32)
+            sub_tile = int(min(65536, cap))
+            pad = (-cap) % sub_tile
+            if pad:
+                subset = jnp.pad(subset, ((0, pad), (0, 0)))
+            centroids, _ = _kmeans_device(
+                subset,
+                jnp.int32(cap),
+                jax.random.PRNGKey(seed),
+                n_clusters=n_clusters,
+                n_iters=n_iters,
+                tile_rows=sub_tile,
+            )
+            centroids = np.asarray(centroids)
+        else:
+            subset = np.asarray(data[sample], dtype=np.float32)
+            centroids, _ = kmeans(
+                subset,
+                n_clusters,
+                n_iters=n_iters,
+                seed=seed,
+                tile_rows=tile_rows,
+                round_sizes=round_sizes,
+                max_points_per_centroid=0,
+            )
+        return centroids, kmeans_assign(centroids, data)
     data = np.asarray(data, dtype=np.float32)
 
     if round_sizes:
@@ -226,30 +244,37 @@ def kmeans(
     return np.asarray(centroids), np.asarray(labels)[:n].astype(np.int32)
 
 
-def kmeans_assign(centroids, data, tile_rows: int = 65536) -> np.ndarray:
+def kmeans_assign(centroids, data, tile_rows: int = 0) -> np.ndarray:
     """Assign each row of ``data`` to its nearest centroid (the reference's
     ``kmeans.index.search(data, 1)``, ``clustering/faiss_kmeans.py:21``).
 
-    Streams host data to the device in ``tile_rows`` blocks, so 10M×768
-    never needs a full-dataset device copy; ``data`` may also already be
-    a device array (streamed by slicing, no host copy).
+    Host data streams to the device in blocks; device-resident data is
+    sliced in place.  Per-block labels stay on the device and cross to
+    the host once at the end (dispatch and transfer latency through a
+    slow host link dominate otherwise).
+
+    ``tile_rows=0`` picks a block size targeting ~1.5 GB of f32 rows.
     """
     n, d = data.shape
+    if not tile_rows:
+        tile_rows = max(8192, min(n, (384 << 20) // max(d, 1)))
     centroids_dev = jnp.asarray(np.asarray(centroids), dtype=jnp.float32)
     tile_rows = int(min(tile_rows, max(8, n)))
-    out = np.empty(n, dtype=np.int32)
+    label_blocks = []
     for start in range(0, n, tile_rows):
         block = data[start : start + tile_rows]
         rows = block.shape[0]
-        if rows < tile_rows:
-            pad_block = np.zeros((tile_rows, d), dtype=np.float32)
-            pad_block[:rows] = np.asarray(block, dtype=np.float32)
-            block = pad_block
-        labels = _assign_block(
-            jnp.asarray(block), centroids_dev
-        )
-        out[start : start + rows] = np.asarray(labels)[:rows]
-    return out
+        if isinstance(block, jax.Array):
+            if rows < tile_rows:
+                block = jnp.pad(block, ((0, tile_rows - rows), (0, 0)))
+        else:
+            if rows < tile_rows:
+                pad_block = np.zeros((tile_rows, d), dtype=np.float32)
+                pad_block[:rows] = np.asarray(block, dtype=np.float32)
+                block = pad_block
+            block = jnp.asarray(np.asarray(block, dtype=np.float32))
+        label_blocks.append(_assign_block(block, centroids_dev)[:rows])
+    return np.asarray(jnp.concatenate(label_blocks)).astype(np.int32)
 
 
 @jax.jit
