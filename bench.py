@@ -35,9 +35,14 @@ def log(msg: str) -> None:
 
 def gen_blobs_on_device(n, d, n_clusters, seed, n_queries, dtype, block=500_000):
     """Generate a unit-norm clustered corpus directly INTO a persistent
-    device buffer (donated updates; nothing crosses the host)."""
+    device buffer (donated updates; nothing crosses the host).
+
+    ``dtype="int8"`` quantizes per row (ops/quantize.py) and returns
+    ``((values int8, scales f32), queries)``."""
     import jax
     import jax.numpy as jnp
+
+    from learnedmetricindex_tpu.ops.quantize import quantize_rows
 
     key = jax.random.PRNGKey(seed)
     ckey, key = jax.random.split(key)
@@ -61,16 +66,33 @@ def gen_blobs_on_device(n, d, n_clusters, seed, n_queries, dtype, block=500_000)
             buf, blk.astype(buf.dtype), (start, 0)
         )
 
-    buf = jnp.zeros((n, d), dtype=dtype)
+    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("start",))
+    def write_block_q(buf, sbuf, blk, *, start):
+        q, sc = quantize_rows(blk)
+        return (
+            jax.lax.dynamic_update_slice(buf, q, (start, 0)),
+            jax.lax.dynamic_update_slice(sbuf, sc, (start,)),
+        )
+
+    int8 = jnp.dtype(dtype) == jnp.int8
+    gen_dtype = jnp.float32 if int8 else dtype
+    buf = jnp.zeros((n, d), dtype=jnp.int8 if int8 else dtype)
+    sbuf = jnp.zeros((n,), jnp.float32) if int8 else None
     made = 0
     while made < n:
         rows = min(block, n - made)
         key, bkey = jax.random.split(key)
-        buf = write_block(buf, make_block(bkey, rows, dtype), start=made)
+        blk = make_block(bkey, rows, gen_dtype)
+        if int8:
+            buf, sbuf = write_block_q(buf, sbuf, blk, start=made)
+        else:
+            buf = write_block(buf, blk, start=made)
         made += rows
     buf.block_until_ready()
     key, qkey = jax.random.split(key)
     queries = make_block(qkey, n_queries).astype(jnp.float32)
+    if int8:
+        return (buf, sbuf), queries
     return buf, queries
 
 
@@ -86,12 +108,16 @@ def main():
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--model", default="MLP-4")
     p.add_argument("--lr", type=float, default=0.01)
-    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--dtype", default="int8",
+                   choices=["float32", "bfloat16", "int8"])
+    p.add_argument("--store", default="packed", choices=["virtual", "packed"])
     p.add_argument("--chunk", type=int, default=2048)
     p.add_argument("--latent-clusters", type=int, default=256)
     p.add_argument("--reps", type=int, default=3)
-    p.add_argument("--approx-recall", type=float, default=0.99,
-                   help="per-item approx top-k recall target; 0 = exact")
+    p.add_argument("--approx-recall", type=float, default=0.0,
+                   help="per-item approx top-k recall target; 0 = exact "
+                        "(the exact k-pass path is also the fastest)")
+    p.add_argument("--rerank-margin", type=int, default=2)
     p.add_argument("--quick", action="store_true",
                    help="small smoke config (200K x 96)")
     args = p.parse_args()
@@ -99,9 +125,19 @@ def main():
     if args.quick:
         args.n, args.d, args.latent_clusters = 200_000, 96, 64
         args.queries, args.gt_queries = 2_000, 500
+    result_extra = {"dtype": args.dtype, "store": args.store}
 
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: build/search wall-clock is otherwise
+    # dominated by fresh-process XLA compiles (the sort-merge alone
+    # compiles for ~2 minutes)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lmi-jax-cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # pragma: no cover
+        log(f"compilation cache unavailable: {e}")
 
     log(f"devices: {jax.devices()}")
     import learnedmetricindex_tpu as lmi
@@ -111,14 +147,19 @@ def main():
     t0 = time.perf_counter()
     data, queries = gen_blobs_on_device(
         args.n, args.d, args.latent_clusters, 2023, args.queries,
-        jnp.dtype(args.dtype),
+        args.dtype,
     )
+    if isinstance(data, tuple):
+        values, scales = data
+    else:
+        values, scales = data, None
     log(f"  corpus ready in {time.perf_counter() - t0:.1f}s "
-        f"({data.nbytes/1e9:.1f} GB on device)")
+        f"({values.nbytes/1e9:.1f} GB on device)")
 
     log(f"ground truth for {args.gt_queries} queries (device-resident) ...")
     t0 = time.perf_counter()
-    _, gt = exact_knn(data, queries[: args.gt_queries], k=10, tile_rows=131_072)
+    _, gt = exact_knn(values, queries[: args.gt_queries], k=10,
+                      tile_rows=131_072, row_scales=scales)
     log(f"  gt in {time.perf_counter() - t0:.1f}s")
 
     cfg = lmi.BuildConfiguration(
@@ -130,7 +171,7 @@ def main():
         seed=2023,
         batch_size=args.batch_size,
         chunk_size=args.chunk,
-        dtype=args.dtype,
+        dtype="bfloat16" if args.dtype == "int8" else args.dtype,
     )
     log(f"building index ({args.buckets} buckets, {args.model}, "
         f"{args.epochs} epochs, batch {args.batch_size}) ...")
@@ -139,12 +180,28 @@ def main():
     ).build()
     log(f"  build {build_t:.1f}s (cluster {cluster_t:.1f}s), {n_buckets} buckets")
 
+    store = None
+    if args.store == "packed":
+        log("packing device store ...")
+        t0 = time.perf_counter()
+        store = index.prepare_packed_store(data, pred)
+        # the packed store is self-contained: free the corpus
+        index._store_cache = {}
+        del data, values, scales
+        data = values = scales = None
+        import gc as _gc
+
+        _gc.collect()
+        log(f"  packed {store.nbytes()/1e9:.1f} GB in {time.perf_counter()-t0:.1f}s"
+            " (corpus dropped)")
+
     log("bucket store + warmup search ...")
     t0 = time.perf_counter()
     approx = args.approx_recall if args.approx_recall > 0 else None
     _, warm_anns, warm_t = index.search(
         data, queries, data, queries, pred, cfg.n_categories,
-        n_buckets=args.visit, k=10, approx_recall=approx,
+        n_buckets=args.visit, k=10, approx_recall=approx, store=store,
+        rerank_margin=args.rerank_margin,
     )
     log(f"  warmup (incl. store build + compile): {time.perf_counter() - t0:.1f}s "
         f"[{ {k: round(v, 3) for k, v in warm_t.items()} }]")
@@ -153,7 +210,8 @@ def main():
     for rep in range(args.reps):
         _, anns, t = index.search(
             data, queries, data, queries, pred, cfg.n_categories,
-            n_buckets=args.visit, k=10, approx_recall=approx,
+            n_buckets=args.visit, k=10, approx_recall=approx, store=store,
+            rerank_margin=args.rerank_margin,
         )
         times.append(t["search"])
         log(f"  rep {rep}: search={t['search']:.3f}s "
@@ -178,6 +236,7 @@ def main():
         "build_vs_baseline": round(20828.0 / build_t, 2),
         "queries": args.queries,
         "qps": round(args.queries / search_s, 1),
+        **result_extra,
     }
     print(json.dumps(result), flush=True)
 

@@ -106,3 +106,29 @@ def evaluate_to_csv(
             writer.writeheader()
             writer.writerows(rows)
     return rows
+
+
+def plot_results(rows, out_path: str = "result.png"):
+    """Recall-vs-query-time scatter (the submodule's ``plot.py``
+    counterpart, cf. ``README.md:49``).  Requires matplotlib."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("plot_results requires matplotlib") from e
+
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for row in rows:
+        ax.scatter(row["recall"], row["querytime"], label=row["params"][:40])
+    ax.set_xlabel("recall@k")
+    ax.set_ylabel("query time (s)")
+    ax.set_yscale("log")
+    ax.grid(True, alpha=0.3)
+    if len(rows) <= 12:
+        ax.legend(fontsize=6)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

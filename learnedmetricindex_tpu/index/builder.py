@@ -38,7 +38,7 @@ from learnedmetricindex_tpu.config import BuildConfiguration
 from learnedmetricindex_tpu.index.index import LearnedIndex, LevelModels
 from learnedmetricindex_tpu.index.navigation import TreeLayout
 from learnedmetricindex_tpu.models.train import StackedNodeTrainer, group_rows
-from learnedmetricindex_tpu.ops.kmeans import kmeans
+from learnedmetricindex_tpu.ops.clustering import algorithms as clustering_algorithms
 from learnedmetricindex_tpu.utils.logging import Logger
 
 EMPTY_VALUE = -1  # cf. PriorityQueue.py:4
@@ -71,7 +71,15 @@ def _guarded_n_clusters(n_rows: int, n_clusters: int) -> int:
 
 class LearnedIndexBuilder(Logger):
     def __init__(self, data, config: BuildConfiguration):
-        self.data = _as_array(data)
+        # ``data`` may be (values, row_scales) for an int8-quantized
+        # corpus (see ops/quantize.py)
+        if isinstance(data, tuple):
+            values, scales = data
+            self.data = _as_array(values)
+            self.row_scales = scales
+        else:
+            self.data = _as_array(data)
+            self.row_scales = None
         self.config = config
 
     def build(self) -> Tuple[LearnedIndex, np.ndarray, int, float, float]:
@@ -119,11 +127,22 @@ class LearnedIndexBuilder(Logger):
                     class_mask[gid, :1] = True
                     continue
                 k_g = _guarded_n_clusters(len(rows), C)
-                _, lab = kmeans(
+                algo = clustering_algorithms[params.clustering_algorithm]
+                sub_scales = None
+                if self.row_scales is not None:
+                    sub_scales = (
+                        self.row_scales
+                        if len(rows) == n
+                        else self.row_scales[rows]
+                    )
+                _, lab = algo(
                     subset,
                     k_g,
-                    seed=cfg.seed + level * 1_000_003 + int(gid),
-                    round_sizes=(level > 0),
+                    {
+                        "seed": cfg.seed + level * 1_000_003 + int(gid),
+                        "round_sizes": level > 0,
+                        "row_scales": sub_scales,
+                    },
                 )
                 # Compact to a dense label range — the reference's
                 # ``len(np.unique(labels))`` shrink (builder:159-167)
@@ -155,6 +174,7 @@ class LearnedIndexBuilder(Logger):
                 labels=labels_full,
                 tile=4096,
                 dtype=jnp.dtype(cfg.dtype),
+                scales=self.row_scales,
             )
             trainer = StackedNodeTrainer(
                 n_models,

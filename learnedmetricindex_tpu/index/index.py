@@ -145,13 +145,16 @@ class LearnedIndex(Logger):
         self, data_search, data_prediction: np.ndarray
     ) -> BucketStore:
         """Build (and cache) the chunked device-resident bucket store."""
-        key = (id(data_search), id(data_prediction))
+        values, scales = (
+            data_search if isinstance(data_search, tuple) else (data_search, None)
+        )
+        key = (id(values), id(data_prediction))
         store = self._store_cache.get(key)
         if store is None:
             from learnedmetricindex_tpu.index.builder import _as_array
 
             bucket_ids = self.bucket_ids_from_prediction(data_prediction)
-            data_arr = _as_array(data_search)
+            data_arr = _as_array(values)
             n_total = int(np.prod(self.config.n_categories, dtype=np.int64))
             if isinstance(data_arr, jax.Array):
                 # device-resident data: index-only virtual store, zero
@@ -162,7 +165,17 @@ class LearnedIndex(Logger):
                     n_buckets=n_total,
                     chunk=self.config.chunk_size,
                 )
+                if scales is not None:
+                    store = store._replace(
+                        row_scales=jnp.asarray(np.asarray(scales))
+                        if not isinstance(scales, jax.Array)
+                        else scales
+                    )
             else:
+                if scales is not None:
+                    data_arr = np.asarray(data_arr, np.float32) * np.asarray(
+                        scales, np.float32
+                    )[:, None]
                 store = BucketStore.build(
                     data_arr,
                     bucket_ids,
@@ -171,6 +184,35 @@ class LearnedIndex(Logger):
                     dtype=jnp.dtype(self.config.dtype),
                 )
             self._store_cache = {key: store}  # keep at most one
+        return store
+
+    def prepare_packed_store(
+        self, data_search, data_prediction: np.ndarray
+    ) -> BucketStore:
+        """Materialize (and cache) a *packed* device store — contiguous
+        DMA reads at scan time instead of random row gathers.  Needs a
+        second corpus-sized HBM buffer transiently; with an int8 corpus
+        both fit at 10M×768 on one chip.  The caller may free the
+        original corpus afterwards."""
+        values, scales = (
+            data_search if isinstance(data_search, tuple) else (data_search, None)
+        )
+        from learnedmetricindex_tpu.index.builder import _as_array
+
+        data_arr = _as_array(values)
+        assert isinstance(data_arr, jax.Array), (
+            "prepare_packed_store expects device-resident data"
+        )
+        bucket_ids = self.bucket_ids_from_prediction(data_prediction)
+        n_total = int(np.prod(self.config.n_categories, dtype=np.int64))
+        store = BucketStore.build_packed_device(
+            data_arr,
+            bucket_ids,
+            n_buckets=n_total,
+            chunk=self.config.chunk_size,
+            row_scales=scales,
+        )
+        self._store_cache = {(id(values), id(data_prediction)): store}
         return store
 
     def _tree_probs(self, queries_navigation: jnp.ndarray):
@@ -226,6 +268,8 @@ class LearnedIndex(Logger):
         k: int = 10,
         policy: str = "best_first",
         approx_recall: Optional[float] = None,
+        store: Optional[BucketStore] = None,
+        rerank_margin: int = 6,
     ):
         """Search ``k`` nearest neighbors in the ``n_buckets`` most
         probable buckets per query (cf. ``LearnedIndex.search``,
@@ -250,7 +294,8 @@ class LearnedIndex(Logger):
             queries_navigation, n_buckets, policy=policy
         )
 
-        store = self.get_bucket_store(data_search, data_prediction)
+        if store is None:
+            store = self.get_bucket_store(data_search, data_prediction)
 
         s_scan = time.perf_counter()
         q_search = (
@@ -258,13 +303,27 @@ class LearnedIndex(Logger):
             if isinstance(queries_search, jax.Array)
             else np.asarray(queries_search, dtype=np.float32)
         )
+        # Two-stage scan: bulk pass at fast DEFAULT precision with a 2k
+        # shortlist, then exact HIGHEST-precision rerank of the shortlist
+        # (bf16 matmul noise of ±2e-3 would otherwise permute near-tied
+        # neighbors; a full-precision bulk scan costs 6x the MXU passes).
+        # adapt the query-tile size to the expected pairs per bucket:
+        # every chunk of a bucket re-reads once per query tile, so one
+        # tile per bucket minimizes slab traffic
+        n_q = order.shape[0]
+        expected = max(1, (n_q * n_buckets * 3) // (2 * max(self.n_buckets, 1)))
+        qtile = 128
+        while qtile < min(expected, 1024):
+            qtile *= 2
         dists, anns = scan_buckets(
             store,
             q_search,
             order,
             k=k,
-            precision="highest" if self.config.dtype == "float32" else "default",
+            qtile=qtile,
             approx_recall=approx_recall,
+            rerank=True,
+            rerank_margin=rerank_margin,
         )
         t_scan = time.perf_counter() - s_scan
         measured["search_within_buckets"] = t_scan

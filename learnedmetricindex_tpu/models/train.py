@@ -73,6 +73,7 @@ class GroupedData(NamedTuple):
     seg_lens: jnp.ndarray  # (n_models,) int32, true lengths
     slot_rows_np: np.ndarray  # host copy of slot_rows (for scatters)
     tile: int
+    x_scales: Optional[jnp.ndarray] = None  # (n_rows,) f32 — int8 corpora
 
     def scatter_to_rows(self, slot_values: np.ndarray, n_rows: int, fill=0):
         """Scatter per-slot values back to original row order."""
@@ -89,6 +90,7 @@ def group_rows(
     labels: Optional[np.ndarray] = None,
     tile: int = 4096,
     dtype=jnp.float32,
+    scales=None,
 ) -> GroupedData:
     """Build the index-only grouped layout (vectorized counting sort on
     row *indices*; the data itself is not touched).
@@ -118,6 +120,8 @@ def group_rows(
         x = data
     else:
         x = jnp.asarray(np.asarray(data), dtype=dtype)
+    if scales is not None and not isinstance(scales, jax.Array):
+        scales = jnp.asarray(np.asarray(scales, np.float32))
     return GroupedData(
         x=x,
         slot_rows=jnp.asarray(slot_rows),
@@ -127,6 +131,7 @@ def group_rows(
         seg_lens=jnp.asarray(counts.astype(np.int32)),
         slot_rows_np=slot_rows,
         tile=tile,
+        x_scales=scales,
     )
 
 
@@ -153,6 +158,7 @@ def _run_epochs(
     opt_state,
     key,
     x,
+    x_scales,
     slot_rows,
     labels,
     seg_starts,
@@ -185,6 +191,8 @@ def _run_epochs(
         )
         rows = slot_rows[idx]  # (M, B) original rows, -1 only if seg empty
         xb = x[jnp.maximum(rows, 0)].astype(jnp.float32)  # (M, B, d)
+        if x_scales is not None:
+            xb = xb * x_scales[jnp.maximum(rows, 0)][:, :, None]
         yb = jnp.where(rows >= 0, labels[idx], -1)  # (M, B)
         (_, per_model), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             p, xb, yb
@@ -203,7 +211,7 @@ def _run_epochs(
 
 @functools.partial(jax.jit, static_argnames=("tile", "n_classes"))
 def _predict_own_tiles(
-    params, x, slot_rows, tile_model, class_mask, *, tile, n_classes
+    params, x, x_scales, slot_rows, tile_model, class_mask, *, tile, n_classes
 ):
     """Per-slot argmax prediction under the slot's own model.
 
@@ -218,6 +226,8 @@ def _predict_own_tiles(
         m, rows = inputs
         p_m = jax.tree.map(lambda leaf: leaf[m], params)
         xtile = x[jnp.maximum(rows, 0)].astype(jnp.float32)
+        if x_scales is not None:
+            xtile = xtile * x_scales[jnp.maximum(rows, 0)][:, None]
         logits = mlp_apply(p_m, xtile)
         logits = jnp.where(class_mask[m][None, :], logits, NEG_INF)
         return None, jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -299,6 +309,7 @@ class StackedNodeTrainer(Logger):
                 self.opt_state,
                 ekey,
                 grouped.x,
+                grouped.x_scales,
                 grouped.slot_rows,
                 grouped.labels,
                 grouped.seg_starts,
@@ -313,6 +324,7 @@ class StackedNodeTrainer(Logger):
             preds = _predict_own_tiles(
                 self.params,
                 grouped.x,
+                grouped.x_scales,
                 grouped.slot_rows,
                 grouped.tile_model,
                 self.class_mask,
@@ -354,6 +366,7 @@ class StackedNodeTrainer(Logger):
             _predict_own_tiles(
                 self.params,
                 grouped.x,
+                grouped.x_scales,
                 grouped.slot_rows,
                 grouped.tile_model,
                 self.class_mask,
@@ -425,6 +438,7 @@ class NeuralNetwork(Logger):
             self._trainer.opt_state,
             ekey,
             grouped.x,
+            grouped.x_scales,
             grouped.slot_rows,
             grouped.labels,
             grouped.seg_starts,

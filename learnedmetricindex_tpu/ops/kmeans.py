@@ -155,6 +155,7 @@ def kmeans(
     tile_rows: int = 65536,
     round_sizes: bool = False,
     max_points_per_centroid: int = 256,
+    row_scales=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Cluster ``data`` into ``n_clusters``; returns ``(centroids, labels)``.
 
@@ -195,6 +196,8 @@ def kmeans(
             # gather + cluster the subsample fully on device — nothing
             # crosses the (slow) host link except the final centroids
             subset = data[jnp.asarray(sample)].astype(jnp.float32)
+            if row_scales is not None:
+                subset = subset * jnp.asarray(row_scales)[jnp.asarray(sample)][:, None]
             sub_tile = int(min(65536, cap))
             pad = (-cap) % sub_tile
             if pad:
@@ -210,6 +213,8 @@ def kmeans(
             centroids = np.asarray(centroids)
         else:
             subset = np.asarray(data[sample], dtype=np.float32)
+            if row_scales is not None:
+                subset = subset * np.asarray(row_scales)[sample][:, None]
             centroids, _ = kmeans(
                 subset,
                 n_clusters,
@@ -219,8 +224,10 @@ def kmeans(
                 round_sizes=round_sizes,
                 max_points_per_centroid=0,
             )
-        return centroids, kmeans_assign(centroids, data)
+        return centroids, kmeans_assign(centroids, data, row_scales=row_scales)
     data = np.asarray(data, dtype=np.float32)
+    if row_scales is not None:
+        data = data * np.asarray(row_scales, np.float32)[:, None]
 
     if round_sizes:
         target = 256
@@ -244,7 +251,7 @@ def kmeans(
     return np.asarray(centroids), np.asarray(labels)[:n].astype(np.int32)
 
 
-def kmeans_assign(centroids, data, tile_rows: int = 0) -> np.ndarray:
+def kmeans_assign(centroids, data, tile_rows: int = 0, row_scales=None) -> np.ndarray:
     """Assign each row of ``data`` to its nearest centroid (the reference's
     ``kmeans.index.search(data, 1)``, ``clustering/faiss_kmeans.py:21``).
 
@@ -260,19 +267,32 @@ def kmeans_assign(centroids, data, tile_rows: int = 0) -> np.ndarray:
         tile_rows = max(8192, min(n, (384 << 20) // max(d, 1)))
     centroids_dev = jnp.asarray(np.asarray(centroids), dtype=jnp.float32)
     tile_rows = int(min(tile_rows, max(8, n)))
+    if row_scales is not None:
+        import jax.numpy as _jnp  # noqa: F401
+        row_scales_dev = (
+            row_scales if isinstance(row_scales, jax.Array)
+            else jnp.asarray(np.asarray(row_scales, np.float32))
+        )
     label_blocks = []
     for start in range(0, n, tile_rows):
         block = data[start : start + tile_rows]
         rows = block.shape[0]
         if isinstance(block, jax.Array):
+            if row_scales is not None:
+                sc = row_scales_dev[start : start + rows]
+                block = block.astype(jnp.float32) * sc[:, None]
             if rows < tile_rows:
                 block = jnp.pad(block, ((0, tile_rows - rows), (0, 0)))
         else:
+            block = np.asarray(block, dtype=np.float32)
+            if row_scales is not None:
+                block = block * np.asarray(row_scales[start : start + rows],
+                                           np.float32)[:, None]
             if rows < tile_rows:
                 pad_block = np.zeros((tile_rows, d), dtype=np.float32)
-                pad_block[:rows] = np.asarray(block, dtype=np.float32)
+                pad_block[:rows] = block
                 block = pad_block
-            block = jnp.asarray(np.asarray(block, dtype=np.float32))
+            block = jnp.asarray(block)
         label_blocks.append(_assign_block(block, centroids_dev)[:rows])
     return np.asarray(jnp.concatenate(label_blocks)).astype(np.int32)
 

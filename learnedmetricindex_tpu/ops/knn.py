@@ -82,11 +82,13 @@ def exact_knn(
     k: int = 10,
     metric: str = "inner_product",
     tile_rows: int = 8192,
+    row_scales=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact k-nearest-neighbor search, streamed over data blocks.
 
     Host data is fed to the device ``tile_rows`` rows at a time, so the
     full dataset never needs a device copy (10M×768 works on one chip).
+    ``row_scales``: per-row dequantization scales for int8 data.
     Returns ``(dists (n_q, k) float32, ids (n_q, k) uint32 1-based)``,
     sorted ascending by distance, ties broken toward smaller row index.
     """
@@ -104,13 +106,21 @@ def exact_knn(
     for start in range(0, n, tile_rows):
         block = data[start : start + tile_rows]
         rows = block.shape[0]
+        sc = None if row_scales is None else row_scales[start : start + rows]
         if isinstance(block, jax.Array):
             # device-resident data: slice/pad/cast stay on device
             if rows < tile_rows:
                 block = jnp.pad(block, ((0, tile_rows - rows), (0, 0)))
             block = block.astype(jnp.float32)
+            if sc is not None:
+                scj = jnp.asarray(sc, dtype=jnp.float32)
+                if rows < tile_rows:
+                    scj = jnp.pad(scj, (0, tile_rows - rows))
+                block = block * scj[:, None]
         else:
             block = np.asarray(block, dtype=np.float32)
+            if sc is not None:
+                block = block * np.asarray(sc, np.float32)[:, None]
             if rows < tile_rows:
                 padded = np.zeros((tile_rows, d), dtype=np.float32)
                 padded[:rows] = block

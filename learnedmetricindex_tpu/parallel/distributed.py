@@ -201,7 +201,12 @@ def make_sharded_scan(mesh: Mesh, k: int, qtile: int):
         offs = item_q_start[:, None] + jnp.arange(qtile)[None, :]
         qi = qidx[offs]  # (W, qtile)
         qv = queries[jnp.maximum(qi, 0)]  # (W, qtile, d)
-        cd = chunk_data[item_chunk].astype(jnp.float32)  # (W, chunk, d)
+        chunk = chunk_ids.shape[1]
+        W_loc = item_chunk.shape[0]
+        rows = (
+            item_chunk[:, None] * chunk + jnp.arange(chunk)[None, :]
+        ).reshape(-1)
+        cd = chunk_data[rows].reshape(W_loc, chunk, -1).astype(jnp.float32)
         ids = chunk_ids[item_chunk]
         sims = jnp.einsum(
             "wqd,wcd->wqc", qv, cd, preferred_element_type=jnp.float32
