@@ -109,7 +109,8 @@ class BucketStore(NamedTuple):
         ids[valid] = object_ids[slot_rows[valid]]
 
         # inverse mapping (object id-1 → slot) for the exact rerank stage
-        row_slot = np.zeros(int(object_ids.max()), dtype=np.int32)
+        max_id = int(object_ids.max()) if len(object_ids) else 0
+        row_slot = np.zeros(max_id, dtype=np.int32)
         row_slot[ids[valid] - 1] = np.nonzero(valid)[0].astype(np.int32)
 
         return cls(

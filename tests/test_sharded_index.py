@@ -1,0 +1,81 @@
+"""Bucket-sharded multi-chip search vs the single-device engine."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from learnedmetricindex_tpu.data import synthetic_blobs
+from learnedmetricindex_tpu.index.bucket_store import BucketStore, scan_buckets
+from learnedmetricindex_tpu.ops.knn import exact_knn, recall
+from learnedmetricindex_tpu.parallel.mesh import create_mesh
+from learnedmetricindex_tpu.parallel.sharded_index import (
+    shard_store,
+    sharded_search,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    data, queries = synthetic_blobs(1200, 16, 50, n_clusters=10, seed=7)
+    rng = np.random.default_rng(1)
+    bucket_ids = rng.integers(0, 13, size=1200)
+    mesh = create_mesh(8)
+    sharded = shard_store(data, bucket_ids, 13, mesh, chunk=32)
+    return data, queries, bucket_ids, mesh, sharded
+
+
+def test_shard_assignment_covers_all_buckets(setup):
+    data, queries, bucket_ids, mesh, sharded = setup
+    assert sharded.bucket_device.shape == (13,)
+    assert set(sharded.bucket_device) <= set(range(8))
+    # every row present exactly once across sub-stores
+    total = sum(int(s.bucket_sizes.sum()) for s in sharded.sub_stores)
+    assert total == 1200
+    all_ids = np.concatenate(
+        [np.asarray(s.chunk_ids).reshape(-1) for s in sharded.sub_stores]
+    )
+    all_ids = all_ids[all_ids > 0]
+    np.testing.assert_array_equal(np.sort(all_ids), np.arange(1, 1201))
+
+
+def test_sharded_full_visit_equals_exact(setup):
+    data, queries, bucket_ids, mesh, sharded = setup
+    order = np.tile(np.arange(13, dtype=np.int64), (50, 1))
+    dists, ids = sharded_search(sharded, queries, order, k=10)
+    ref_d, ref_i = exact_knn(data, queries, k=10)
+    np.testing.assert_allclose(dists, ref_d, rtol=1e-4, atol=1e-5)
+    assert recall(ids, ref_i, 10) == 1.0
+
+
+def test_sharded_partial_visit_matches_single_device(setup):
+    data, queries, bucket_ids, mesh, sharded = setup
+    rng = np.random.default_rng(5)
+    order = np.stack(
+        [rng.choice(13, size=4, replace=False) for _ in range(50)]
+    ).astype(np.int64)
+    dists, ids = sharded_search(sharded, queries, order, k=6)
+
+    single = BucketStore.build(data, bucket_ids, 13, chunk=32)
+    ref_d, ref_i = scan_buckets(single, queries, order, k=6)
+    np.testing.assert_allclose(dists, ref_d, rtol=1e-4, atol=1e-5)
+    # id mismatches only possible on exact distance ties
+    mism = ids != ref_i
+    if mism.any():
+        np.testing.assert_allclose(
+            dists[mism], ref_d[mism], rtol=1e-6, atol=1e-7
+        )
+
+
+def test_sharded_search_with_invalid_slots(setup):
+    data, queries, bucket_ids, mesh, sharded = setup
+    order = np.full((50, 3), -1, dtype=np.int64)
+    order[0, 0] = 2
+    dists, ids = sharded_search(sharded, queries, order, k=5)
+    assert np.isfinite(dists[0]).all()
+    assert np.isinf(dists[1:]).all()
+    assert (ids[1:] == 0).all()
