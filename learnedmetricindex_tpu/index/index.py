@@ -307,20 +307,16 @@ class LearnedIndex(Logger):
         # shortlist, then exact HIGHEST-precision rerank of the shortlist
         # (bf16 matmul noise of ±2e-3 would otherwise permute near-tied
         # neighbors; a full-precision bulk scan costs 6x the MXU passes).
-        # adapt the query-tile size to the expected pairs per bucket:
-        # every chunk of a bucket re-reads once per query tile, so one
-        # tile per bucket minimizes slab traffic
-        n_q = order.shape[0]
-        expected = max(1, (n_q * n_buckets * 3) // (2 * max(self.n_buckets, 1)))
-        qtile = 128
-        while qtile < min(expected, 1024):
-            qtile *= 2
+        # qtile=128 measured best at flagship scale: phase-1 top-k and
+        # merge cost scale with pair-slots × chunk (constant in qtile),
+        # while larger tiles only cut slab re-reads — not the bottleneck
+        # — and push the k-pass working set out of VMEM.
         dists, anns = scan_buckets(
             store,
             q_search,
             order,
             k=k,
-            qtile=qtile,
+            qtile=128,
             approx_recall=approx_recall,
             rerank=True,
             rerank_margin=rerank_margin,
