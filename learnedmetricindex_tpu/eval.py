@@ -18,12 +18,11 @@ from __future__ import annotations
 import csv
 import os
 from pathlib import Path
-from typing import Iterable, Optional
+from typing import Iterable
 
 import numpy as np
 
 from learnedmetricindex_tpu.ops.knn import recall as _recall
-from learnedmetricindex_tpu.utils.logging import Logger
 
 
 def store_results(

@@ -30,7 +30,7 @@ Structural TPU differences (capability-equivalent, SURVEY.md §7):
 from __future__ import annotations
 
 import time
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -23,8 +23,8 @@ Here the two concerns are decoupled:
    ``probabilities[:, child_idx]`` unscaled).
 
 A faster ``joint`` policy (rank leaves by ``∏ P(child|node)``, one
-``top_k``) is provided as a TPU-friendly alternative; it is the default
-for benchmarking but ``best_first`` reproduces reference semantics.
+``top_k``) is provided as a TPU-friendly alternative; ``best_first``
+is the default and reproduces reference semantics exactly.
 
 Tie-breaking: the reference resolves equal probabilities via its
 argsort history (``PriorityQueue.py:58-94``); we use ``argmax`` (lowest
@@ -164,8 +164,10 @@ def _best_first_device(
 
         leaf = is_leaf[pop] & do
         # emit leaf: bucket id = pop - leaf_offset
-        order = order.at[jnp.arange(Q), jnp.minimum(emitted, n_buckets - 1)].set(
-            jnp.where(leaf, pop - leaf_offset, order[jnp.arange(Q), jnp.minimum(emitted, n_buckets - 1)])
+        slot = jnp.minimum(emitted, n_buckets - 1)
+        rows = jnp.arange(Q)
+        order = order.at[rows, slot].set(
+            jnp.where(leaf, pop - leaf_offset, order[rows, slot])
         )
         emitted = emitted + leaf.astype(jnp.int32)
 

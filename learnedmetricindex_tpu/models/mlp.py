@@ -17,7 +17,7 @@ or two ReLU hidden layers) as functional JAX models:
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

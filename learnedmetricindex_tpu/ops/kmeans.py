@@ -268,7 +268,6 @@ def kmeans_assign(centroids, data, tile_rows: int = 0, row_scales=None) -> np.nd
     centroids_dev = jnp.asarray(np.asarray(centroids), dtype=jnp.float32)
     tile_rows = int(min(tile_rows, max(8, n)))
     if row_scales is not None:
-        import jax.numpy as _jnp  # noqa: F401
         row_scales_dev = (
             row_scales if isinstance(row_scales, jax.Array)
             else jnp.asarray(np.asarray(row_scales, np.float32))

@@ -12,7 +12,6 @@ reference never uses them); this is a TPU-memory-motivated extension.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -120,3 +120,25 @@ def test_n_buckets_exceeding_total_clamped(blobs):
         n_buckets=50, k=10,
     )
     assert recall(anns, gt, 10) == 1.0
+
+
+def test_two_level_device_resident_build(blobs):
+    """2-level build with a device-resident corpus: per-node clustering
+    gathers subsets on device, grouped training is virtual."""
+    import jax.numpy as jnp
+
+    data, queries, gt = blobs
+    data_dev = jnp.asarray(data, dtype=jnp.bfloat16)
+    cfg = lmi.BuildConfiguration(
+        "kmeans", 40, "MLP-2", 0.01, [4, 4], seed=2023, chunk_size=256,
+        dtype="bfloat16",
+    )
+    index, pred, n_buckets, _, _ = lmi.LearnedIndexBuilder(data_dev, cfg).build()
+    assert n_buckets == 16
+    # virtual store over the device corpus; full visit ~= exact (bf16
+    # corpus values differ slightly from the f32 gt corpus)
+    _, anns, _ = index.search(
+        data_dev, queries, data_dev, queries, pred, cfg.n_categories,
+        n_buckets=16, k=10,
+    )
+    assert recall(anns, gt, 10) > 0.98
