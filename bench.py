@@ -114,9 +114,10 @@ def main():
     p.add_argument("--chunk", type=int, default=2048)
     p.add_argument("--latent-clusters", type=int, default=256)
     p.add_argument("--reps", type=int, default=3)
-    p.add_argument("--approx-recall", type=float, default=0.0,
-                   help="per-item approx top-k recall target; 0 = exact "
-                        "(the exact k-pass path is also the fastest)")
+    p.add_argument("--approx-recall", type=float, default=0.95,
+                   help="per-item approx top-k recall target; 0 = exact. "
+                        "0.95 + the exact rerank measures ~0.18s faster "
+                        "than the exact k-pass at 9M with recall 0.9998")
     p.add_argument("--rerank-margin", type=int, default=2)
     p.add_argument("--quick", action="store_true",
                    help="small smoke config (200K x 96)")
