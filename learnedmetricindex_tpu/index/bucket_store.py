@@ -604,6 +604,19 @@ def _rerank_exact(
     return out_d, out_i
 
 
+def _quantize(size: int, multiple: int) -> int:
+    """Round up to a 1/8-octave boundary (≤12.5% padding) so the number
+    of distinct compiled shapes stays logarithmic — the sort-based merge
+    in particular compiles slowly per shape.  The step is itself rounded
+    up to a multiple of ``multiple`` so the result always divides evenly
+    (a bare power-of-2 step breaks non-power-of-2 ``items_per_step``,
+    e.g. chunk=3000 → items_per_step=5: 130 items → 144, not ÷5)."""
+    size = max(size, multiple)
+    step = 1 << max(size.bit_length() - 4, 0)
+    step = -(-step // multiple) * multiple
+    return -(-size // step) * step
+
+
 def scan_buckets(
     store: BucketStore,
     queries: np.ndarray,
@@ -622,9 +635,15 @@ def scan_buckets(
     Functional equivalent of the reference's phase B
     (``LearnedIndex.py:107-146``) in two jitted device passes.
 
-    ``rerank=True`` runs the bulk scan at DEFAULT precision with a 2k
-    shortlist and recomputes exact HIGHEST-precision distances for the
-    shortlist only — the fast path with exact final ranking.
+    ``rerank=True`` runs the bulk scan at ``precision`` with a
+    ``k + rerank_margin`` shortlist and recomputes exact
+    HIGHEST-precision distances for the shortlist only.  With
+    ``precision="default"`` (one bf16 MXU pass) this is the fast path:
+    the final ranking is exact *over the shortlist*, but a true
+    neighbor pushed past the shortlist by ~2e-3 bf16 noise in a dense
+    near-tie region can be missed — pass ``precision="highest"`` for
+    strict parity with the reference's all-f32 in-bucket scan
+    (``LearnedIndex.py:360-368``).
     """
     import os
     import time as _time
@@ -649,20 +668,13 @@ def scan_buckets(
     if not isinstance(queries, jax.Array):
         queries = np.asarray(queries, dtype=np.float32)
     k_scan = k + rerank_margin if rerank else k
-    scan_precision = "default" if rerank else precision
+    scan_precision = precision
     plan = build_scan_plan(store, np.asarray(bucket_order), qtile=qtile)
     t0 = _dbg("plan", t0)
 
-    def _quantize(size: int, multiple: int) -> int:
-        """Round up to a 1/8-octave boundary (≤12.5% padding) so the
-        number of distinct compiled shapes stays logarithmic — the
-        sort-based merge in particular compiles slowly per shape."""
-        size = max(size, multiple)
-        step = max(1 << max(size.bit_length() - 4, 0), multiple)
-        return -(-size // step) * step
-
     W = len(plan.item_chunk)
     Wp = _quantize(max(W, 1), items_per_step)
+    assert Wp % items_per_step == 0
     item_q_start = np.zeros(Wp, dtype=np.int32)
     item_chunk = np.zeros(Wp, dtype=np.int32)
     item_valid = np.zeros(Wp, dtype=bool)

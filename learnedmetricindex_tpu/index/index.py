@@ -90,7 +90,9 @@ class LearnedIndex(Logger):
         self.layout = layout
         self.config = config
         self.leaf_valid = np.asarray(leaf_valid, dtype=bool)
-        self._store_cache: Dict[Tuple[int, int], BucketStore] = {}
+        # (values, data_prediction, store) — strong refs, see
+        # get_bucket_store for why identity keying must hold them alive
+        self._store_cache: Optional[tuple] = None
 
     # ------------------------------------------------------------------
     # reference-parity introspection
@@ -148,8 +150,20 @@ class LearnedIndex(Logger):
         values, scales = (
             data_search if isinstance(data_search, tuple) else (data_search, None)
         )
-        key = (id(values), id(data_prediction))
-        store = self._store_cache.get(key)
+        # Key the one-entry cache on object *identity held alive*: the
+        # cached entry stores strong references to the keying arrays, so
+        # an id() can never be recycled while the entry exists (a bare
+        # id-tuple key could silently alias freshly-allocated arrays at
+        # the same addresses and return a store built from other data).
+        cached = self._store_cache
+        if (
+            cached is not None
+            and cached[0] is values
+            and cached[1] is data_prediction
+        ):
+            store = cached[2]
+        else:
+            store = None
         if store is None:
             from learnedmetricindex_tpu.index.builder import _as_array
 
@@ -183,7 +197,7 @@ class LearnedIndex(Logger):
                     chunk=self.config.chunk_size,
                     dtype=jnp.dtype(self.config.dtype),
                 )
-            self._store_cache = {key: store}  # keep at most one
+            self._store_cache = (values, data_prediction, store)
         return store
 
     def prepare_packed_store(
@@ -212,7 +226,7 @@ class LearnedIndex(Logger):
             chunk=self.config.chunk_size,
             row_scales=scales,
         )
-        self._store_cache = {(id(values), id(data_prediction)): store}
+        self._store_cache = (values, data_prediction, store)
         return store
 
     def _tree_probs(self, queries_navigation: jnp.ndarray):
@@ -270,6 +284,9 @@ class LearnedIndex(Logger):
         approx_recall: Optional[float] = None,
         store: Optional[BucketStore] = None,
         rerank_margin: int = 6,
+        precision: str = "default",
+        rerank: bool = True,
+        qtile: int = 128,
     ):
         """Search ``k`` nearest neighbors in the ``n_buckets`` most
         probable buckets per query (cf. ``LearnedIndex.search``,
@@ -280,6 +297,17 @@ class LearnedIndex(Logger):
 
         ``approx_recall``: per-scan-item recall target for the hardware
         approximate top-k (``lax.approx_max_k``); ``None`` = exact.
+
+        Ranking-exactness knobs (default = the fast path): the bulk scan
+        runs at ``precision`` matmul precision ("default" = one bf16
+        pass) over a ``k + rerank_margin`` shortlist, and ``rerank=True``
+        recomputes exact f32 distances for the shortlist only.  The
+        final ranking is exact *over the shortlist*; a true neighbor
+        pushed past the shortlist by ~2e-3 bf16 noise in a dense
+        near-tie region can be missed.  For strict parity with the
+        reference's all-f32 in-bucket scan
+        (``LearnedIndex.py:360-368``), pass ``precision="highest"``
+        (with or without rerank) — ~6× the MXU passes.
         """
         measured: Dict[str, float] = {
             "inference": 0.0,
@@ -303,22 +331,24 @@ class LearnedIndex(Logger):
             if isinstance(queries_search, jax.Array)
             else np.asarray(queries_search, dtype=np.float32)
         )
-        # Two-stage scan: bulk pass at fast DEFAULT precision with a 2k
-        # shortlist, then exact HIGHEST-precision rerank of the shortlist
-        # (bf16 matmul noise of ±2e-3 would otherwise permute near-tied
-        # neighbors; a full-precision bulk scan costs 6x the MXU passes).
-        # qtile=128 measured best at flagship scale: phase-1 top-k and
-        # merge cost scale with pair-slots × chunk (constant in qtile),
-        # while larger tiles only cut slab re-reads — not the bottleneck
-        # — and push the k-pass working set out of VMEM.
+        # Default two-stage scan: bulk pass at fast DEFAULT precision
+        # with a k+margin shortlist, then exact HIGHEST-precision rerank
+        # of the shortlist (bf16 matmul noise of ±2e-3 would otherwise
+        # permute near-tied neighbors; a full-precision bulk scan costs
+        # 6x the MXU passes).  qtile=128 measured best at flagship
+        # scale: phase-1 top-k and merge cost scale with pair-slots ×
+        # chunk (constant in qtile), while larger tiles only cut slab
+        # re-reads — not the bottleneck — and push the k-pass working
+        # set out of VMEM.
         dists, anns = scan_buckets(
             store,
             q_search,
             order,
             k=k,
-            qtile=128,
+            qtile=qtile,
+            precision=precision,
             approx_recall=approx_recall,
-            rerank=True,
+            rerank=rerank,
             rerank_margin=rerank_margin,
         )
         t_scan = time.perf_counter() - s_scan

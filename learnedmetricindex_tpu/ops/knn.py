@@ -144,11 +144,39 @@ def exact_knn(
 
 def recall(nns, gt_nns, k: int = 10) -> float:
     """SISAP recall: mean over queries of ``|top-k ∩ gt-k| / k``
-    (cf. reference ``01-Introduction.ipynb`` cell 31)."""
+    (cf. reference ``01-Introduction.ipynb`` cell 31).
+
+    Vectorized sort-based set intersection — one ``O(Q·k log k)``
+    pass, no per-row Python loop (this metric runs once per benchmark
+    rep over 10k queries).  Duplicate ids within a row are counted
+    once, matching ``np.intersect1d`` set semantics.
+    """
     nns = np.asarray(nns)[:, :k]
     gt = np.asarray(gt_nns)[:, :k]
     assert nns.shape[0] == gt.shape[0]
-    hits = 0
-    for row, gt_row in zip(nns, gt):
-        hits += len(np.intersect1d(row, gt_row))
-    return hits / (nns.shape[0] * k)
+    Q = nns.shape[0]
+    if Q == 0:
+        return 0.0
+
+    def _dedup_sorted(a, sentinel_offset):
+        # sort each row; overwrite repeated values with unique,
+        # never-matching negative sentinels (ids are 1-based positives)
+        s = np.sort(a.astype(np.int64), axis=1)
+        dup = np.zeros(s.shape, dtype=bool)
+        dup[:, 1:] = s[:, 1:] == s[:, :-1]
+        sent = -(np.arange(s.shape[1], dtype=np.int64) + sentinel_offset)
+        return np.where(dup, sent[None, :], s)
+
+    s_n = _dedup_sorted(nns, 1)
+    s_g = _dedup_sorted(gt, k + 1)
+    # merge the two rows; a value present in both appears as exactly one
+    # adjacent equal pair with different sources after a stable sort
+    merged = np.concatenate([s_n, s_g], axis=1)
+    src = np.concatenate(
+        [np.zeros_like(s_n, dtype=bool), np.ones_like(s_g, dtype=bool)], axis=1
+    )
+    order = np.argsort(merged, axis=1, kind="stable")
+    m_s = np.take_along_axis(merged, order, axis=1)
+    src_s = np.take_along_axis(src, order, axis=1)
+    both = (m_s[:, 1:] == m_s[:, :-1]) & (src_s[:, 1:] != src_s[:, :-1])
+    return float(both.sum()) / (Q * k)

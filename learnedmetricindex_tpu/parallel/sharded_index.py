@@ -41,32 +41,56 @@ from learnedmetricindex_tpu.index.bucket_store import (
 
 
 class ShardedStore(NamedTuple):
-    """Per-device packed sub-stores, stacked on a leading device axis."""
+    """Per-device packed sub-stores, stacked on a leading device axis.
 
-    chunk_data: jnp.ndarray  # (D, n_slots, d) sharded on axis 0
+    ``chunk_data`` keeps the corpus dtype end-to-end (an int8 corpus
+    stays int8 on device — the cast to f32 happens per chunk slab inside
+    the scan body, exactly like the single-chip ``_scan_items``), so the
+    per-chip footprint is ``corpus_bytes / n_devices`` + the id grid:
+    100M × 768 int8 ≈ 9.5 GB per v5e-8 chip.
+    """
+
+    chunk_data: jnp.ndarray  # (D, n_slots, d) sharded on axis 0, corpus dtype
     chunk_ids: jnp.ndarray  # (D, n_chunks, chunk) sharded on axis 0
     chunk_scales: jnp.ndarray  # (D, n_slots) sharded on axis 0 (ones if unscaled)
-    sub_stores: List[BucketStore]  # host-side metadata per device
+    sub_stores: List[BucketStore]  # host-side CSR metadata per device (no arrays)
     bucket_device: np.ndarray  # (n_buckets,) owning device
     bucket_local: np.ndarray  # (n_buckets,) bucket index within its device
     mesh: Mesh
     chunk: int
 
+    def nbytes_device_arrays(self) -> int:
+        return (
+            self.chunk_data.nbytes
+            + self.chunk_ids.nbytes
+            + self.chunk_scales.nbytes
+        )
+
 
 def shard_store(
-    data: np.ndarray,
+    data,
     bucket_ids: np.ndarray,
     n_buckets: int,
     mesh: Mesh,
     chunk: int = 256,
     row_scales=None,
 ) -> ShardedStore:
-    """Partition buckets over mesh devices (round-robin by size for
-    balance) and build one packed sub-store per device."""
-    data = np.asarray(data)
+    """Partition buckets over mesh devices (balanced by size) and build
+    one packed sub-store per device, stacked on a sharded device axis.
+
+    ``data`` may be a host array or a device-resident ``jax.Array``; a
+    device corpus is **never** round-tripped through the host — each
+    target device's slab is gathered on the source device and moved
+    directly (one corpus-sized pass in total, 1/D per target, riding
+    ICI on real hardware).  The stored dtype is the corpus dtype
+    (int8 stays int8); ``row_scales`` supplies per-row dequantization
+    scales applied inside the scan.
+    """
     bucket_ids = np.asarray(bucket_ids)
     n_dev = mesh.devices.size
-    counts = np.bincount(bucket_ids, minlength=n_buckets)
+    from learnedmetricindex_tpu import native
+
+    counts = native.bincount(bucket_ids, n_buckets)
 
     # balanced assignment: biggest buckets first, to the lightest device
     order = np.argsort(-counts, kind="stable")
@@ -77,70 +101,102 @@ def shard_store(
         bucket_device[b] = dev
         load[dev] += counts[b]
 
+    # per-device local bucket order + chunk CSR
     bucket_local = np.zeros(n_buckets, dtype=np.int32)
-    sub_stores: List[BucketStore] = []
-    datas, idss, scaless = [], [], []
-    max_slots = 0
+    nchunks = -(-counts // chunk)  # empty bucket → 0 chunks
+    mine_list = []
+    starts_local = []
+    slots_per_dev = []
     for dev in range(n_dev):
         mine = np.nonzero(bucket_device == dev)[0]
         bucket_local[mine] = np.arange(len(mine))
-        rows = np.nonzero(np.isin(bucket_ids, mine))[0]
-        local_bucket = np.searchsorted(mine, bucket_ids[rows])
-        sub = BucketStore.build(
-            data[rows],
-            local_bucket,
-            n_buckets=max(len(mine), 1),
-            chunk=chunk,
-            dtype=jnp.float32 if row_scales is None else jnp.int8,
-            object_ids=(rows + 1).astype(np.int32),
-        )
-        if row_scales is not None:
-            # rebuild scales aligned with the sub-store layout
-            slot_ids = np.asarray(sub.chunk_ids).reshape(-1)
-            sc = np.zeros(len(slot_ids), np.float32)
-            valid = slot_ids > 0
-            sc[valid] = np.asarray(row_scales)[slot_ids[valid] - 1]
-            sub = sub._replace(chunk_scales=jnp.asarray(sc))
-            # re-quantize the slab values to int8 grid for byte parity
-        sub_stores.append(sub)
-        max_slots = max(max_slots, sub.chunk_data.shape[0])
+        mine_list.append(mine)
+        st = np.concatenate([[0], np.cumsum(nchunks[mine])]).astype(np.int32)
+        starts_local.append(st)
+        slots_per_dev.append(int(st[-1]) * chunk)
+    max_slots = max(max(slots_per_dev), chunk)
+    c_max = max_slots // chunk
 
-    # pad sub-stores to a common slot count and stack
-    d = data.shape[1]
-    for sub in sub_stores:
-        ns = sub.chunk_data.shape[0]
-        pad = max_slots - ns
-        cd = np.asarray(sub.chunk_data, dtype=np.float32)
-        ids = np.asarray(sub.chunk_ids).reshape(-1)
-        sc = (
-            np.asarray(sub.chunk_scales)
-            if sub.chunk_scales is not None
-            else np.ones(ns, np.float32)
-        )
-        datas.append(np.pad(cd, ((0, pad), (0, 0))))
-        idss.append(np.pad(ids, (0, pad)))
-        scaless.append(np.pad(sc, (0, pad)))
+    # ONE global grouped fill: segments ordered (device, local bucket),
+    # each device's region padded to max_slots
+    seg_starts = np.concatenate(
+        [
+            dev * max_slots + starts_local[dev][:-1].astype(np.int64) * chunk
+            for dev in range(n_dev)
+        ]
+    )
+    seg_base = np.concatenate(
+        [[0], np.cumsum([len(m) for m in mine_list])]
+    ).astype(np.int64)
+    seg_of_row = seg_base[bucket_device[bucket_ids]] + bucket_local[bucket_ids]
+    ids_flat = native.fill_slots_1based(
+        seg_of_row, seg_starts, n_dev * max_slots
+    )  # 1-based GLOBAL row ids, 0 = pad
+    ids_grid = ids_flat.reshape(n_dev, c_max, chunk)
+
+    # host-side dequantization scales per slot
+    scales_host = np.ones(n_dev * max_slots, np.float32)
+    if row_scales is not None:
+        valid = ids_flat > 0
+        scales_host[:] = 0.0
+        scales_host[valid] = np.asarray(row_scales, np.float32)[
+            ids_flat[valid] - 1
+        ]
+    scales_grid = scales_host.reshape(n_dev, max_slots)
 
     axis = mesh.axis_names
-    chunk_count = max_slots // chunk
-    stacked = ShardedStore(
-        chunk_data=jax.device_put(
-            np.stack(datas), NamedSharding(mesh, P(axis, None, None))
-        ),
-        chunk_ids=jax.device_put(
-            np.stack([i.reshape(chunk_count, chunk) for i in idss]),
-            NamedSharding(mesh, P(axis, None, None)),
-        ),
-        chunk_scales=jax.device_put(
-            np.stack(scaless), NamedSharding(mesh, P(axis, None))
-        ),
+    shard3 = NamedSharding(mesh, P(axis, None, None))
+    shard2 = NamedSharding(mesh, P(axis, None))
+    devices = list(mesh.devices.flat)
+
+    if isinstance(data, jax.Array):
+        d = data.shape[1]
+        src_dev = list(data.devices())[0]
+
+        @jax.jit
+        def gather_slab(ids, corpus):
+            slab = corpus[jnp.maximum(ids - 1, 0)]
+            return jnp.where((ids > 0)[:, None], slab, 0).astype(corpus.dtype)
+
+        shards = []
+        for i, dev in enumerate(devices):
+            ids_i = jax.device_put(ids_grid[i].reshape(-1), src_dev)
+            slab = gather_slab(ids_i, data)  # (max_slots, d) on source
+            shards.append(jax.device_put(slab[None], dev))
+        chunk_data = jax.make_array_from_single_device_arrays(
+            (n_dev, max_slots, d), shard3, shards
+        )
+    else:
+        data = np.asarray(data)
+        d = data.shape[1]
+        cd = data[np.maximum(ids_flat - 1, 0)]
+        cd[ids_flat == 0] = 0
+        chunk_data = jax.device_put(
+            cd.reshape(n_dev, max_slots, d), shard3
+        )
+
+    # lightweight per-device metadata for host-side plan building
+    sub_stores = [
+        BucketStore(
+            chunk_ids=None,
+            bucket_chunk_start=starts_local[dev],
+            bucket_sizes=counts[mine_list[dev]].astype(np.int32),
+            chunk=chunk,
+            n_buckets=len(mine_list[dev]),
+        )
+        for dev in range(n_dev)
+    ]
+
+    return ShardedStore(
+        chunk_data=chunk_data,
+        chunk_ids=jax.device_put(ids_grid, shard3),
+        chunk_scales=jax.device_put(scales_grid, shard2),
         sub_stores=sub_stores,
         bucket_device=bucket_device,
         bucket_local=bucket_local,
         mesh=mesh,
         chunk=chunk,
     )
-    return stacked
 
 
 def sharded_search(
@@ -207,7 +263,7 @@ def sharded_search(
                 qi = jax.lax.dynamic_slice(qidx, (q_start,), (qtile,))
                 slab = jax.lax.dynamic_slice(
                     cdata, (chunk_idx * chunk, 0), (chunk, cdata.shape[1])
-                )
+                ).astype(jnp.float32)  # int8 slabs dequantize per chunk
                 ids = jax.lax.dynamic_slice_in_dim(cids, chunk_idx, 1, 0)[0]
                 sc = jax.lax.dynamic_slice(cscales, (chunk_idx * chunk,), (chunk,))
                 sims = jnp.dot(

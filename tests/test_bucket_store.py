@@ -125,6 +125,38 @@ def test_virtual_store_matches_packed():
     assert vstore.nbytes() < store.nbytes() / 4
 
 
+def test_non_power_of_2_chunk_and_items_per_step():
+    # chunk=3000 at qtile=128 yields items_per_step=5 in scan_buckets'
+    # auto-sizing; the work-list padding must stay divisible by 5
+    # (regression: the octave rounding used a bare power-of-2 step).
+    from learnedmetricindex_tpu.index.bucket_store import _quantize
+
+    for size in (1, 5, 17, 130, 144, 1000):
+        for mult in (1, 3, 5, 7, 12):
+            qp = _quantize(size, mult)
+            assert qp % mult == 0 and qp >= size
+
+    data, queries, bucket_ids, store = _make_store(n=700, chunk=96)
+    order = np.tile(np.arange(7, dtype=np.int64), (len(queries), 1))
+    # force a non-power-of-2 items_per_step directly
+    dists, ids = scan_buckets(store, queries, order, k=10, items_per_step=5)
+    ref_d, ref_i = exact_knn(data, queries, k=10)
+    np.testing.assert_allclose(dists, ref_d, rtol=1e-4, atol=1e-5)
+    assert recall(ids, ref_i, 10) == 1.0
+
+
+def test_precision_knob_with_rerank():
+    # precision="highest" must be honored even when rerank is on
+    data, queries, _, store = _make_store()
+    order = np.tile(np.arange(7, dtype=np.int64), (len(queries), 1))
+    d_hi, i_hi = scan_buckets(
+        store, queries, order, k=5, precision="highest", rerank=True
+    )
+    ref_d, ref_i = exact_knn(data, queries, k=5)
+    np.testing.assert_allclose(d_hi, ref_d, rtol=1e-5, atol=1e-6)
+    assert recall(i_hi, ref_i, 5) == 1.0
+
+
 def test_plan_items_cover_all_pairs():
     data, queries, bucket_ids, store = _make_store(n=200, chunk=32)
     order = np.tile(np.array([0, 1, 2], dtype=np.int64), (len(queries), 1))

@@ -62,3 +62,18 @@ def test_normalize():
     out = normalize(x)
     np.testing.assert_allclose(out[0], [0.6, 0.8], rtol=1e-6)
     np.testing.assert_allclose(out[1], [0.0, 0.0])
+
+
+def test_recall_vectorized_matches_loop_reference():
+    # vs the obvious per-row np.intersect1d definition, incl. duplicates
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        k = int(rng.integers(1, 12))
+        q = int(rng.integers(1, 40))
+        nns = rng.integers(1, 30, size=(q, k))
+        gt = rng.integers(1, 30, size=(q, k))
+        expect = sum(
+            len(np.intersect1d(r, g)) for r, g in zip(nns, gt)
+        ) / (q * k)
+        assert abs(recall(nns, gt, k) - expect) < 1e-12
+    assert recall(np.empty((0, 3)), np.empty((0, 3)), 3) == 0.0

@@ -36,11 +36,13 @@ def test_shard_assignment_covers_all_buckets(setup):
     # every row present exactly once across sub-stores
     total = sum(int(s.bucket_sizes.sum()) for s in sharded.sub_stores)
     assert total == 1200
-    all_ids = np.concatenate(
-        [np.asarray(s.chunk_ids).reshape(-1) for s in sharded.sub_stores]
-    )
+    all_ids = np.asarray(sharded.chunk_ids).reshape(-1)
     all_ids = all_ids[all_ids > 0]
     np.testing.assert_array_equal(np.sort(all_ids), np.arange(1, 1201))
+    # slabs hold the original vectors at their slot ids
+    flat = np.asarray(sharded.chunk_data).reshape(-1, data.shape[1])
+    ids = np.asarray(sharded.chunk_ids).reshape(-1)
+    np.testing.assert_allclose(flat[ids > 0], data[ids[ids > 0] - 1], rtol=1e-6)
 
 
 def test_sharded_full_visit_equals_exact(setup):
@@ -79,3 +81,60 @@ def test_sharded_search_with_invalid_slots(setup):
     assert np.isfinite(dists[0]).all()
     assert np.isinf(dists[1:]).all()
     assert (ids[1:] == 0).all()
+
+def test_sharded_store_int8_stays_int8():
+    # The deployment claim (corpus_bytes / n_devices per chip) requires
+    # int8 slabs to stay int8 through the stack (ADVICE r1).
+    data, queries = synthetic_blobs(2048, 16, 40, n_clusters=10, seed=9)
+    n_buckets, chunk, d = 16, 32, 16
+    bucket_ids = np.arange(2048) % n_buckets  # balanced: 128 rows each
+    mesh = create_mesh(8)
+    from learnedmetricindex_tpu.ops.quantize import quantize_rows
+
+    q_data, row_scales = quantize_rows(data)
+    sharded = shard_store(
+        np.asarray(q_data), bucket_ids, n_buckets, mesh, chunk=chunk,
+        row_scales=np.asarray(row_scales),
+    )
+    assert sharded.chunk_data.dtype == np.int8
+    single = BucketStore.build(
+        np.asarray(q_data, np.float32), bucket_ids, n_buckets, chunk=chunk,
+        dtype="int8",
+    )
+    # stacked slab bytes ≈ single packed bytes (≤ one pad chunk/device)
+    pad_bound = 8 * chunk * d
+    assert sharded.chunk_data.nbytes <= single.chunk_data.nbytes + pad_bound
+    # per-shard bytes = total / n_devices
+    shard = list(sharded.chunk_data.addressable_shards)[0]
+    assert shard.data.nbytes == sharded.chunk_data.nbytes // 8
+
+    # int8 sharded search matches the exact oracle on dequantized data
+    deq = np.asarray(q_data, np.float32) * np.asarray(row_scales)[:, None]
+    order = np.tile(np.arange(n_buckets, dtype=np.int64), (len(queries), 1))
+    dists, ids = sharded_search(sharded, queries, order, k=10)
+    ref_d, ref_i = exact_knn(deq, queries, k=10)
+    np.testing.assert_allclose(dists, ref_d, rtol=1e-4, atol=1e-5)
+    assert recall(ids, ref_i, 10) >= 0.999
+
+
+def test_sharded_store_from_device_corpus(setup):
+    # A device-resident corpus builds without a host round-trip and
+    # searches identically to the host-built store.
+    data, queries, bucket_ids, mesh, sharded_host = setup
+    import jax.numpy as jnp
+
+    dev_data = jnp.asarray(data)
+    sharded = shard_store(dev_data, bucket_ids, 13, mesh, chunk=32)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.chunk_ids), np.asarray(sharded_host.chunk_ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.chunk_data),
+        np.asarray(sharded_host.chunk_data),
+        rtol=1e-6,
+    )
+    order = np.tile(np.arange(13, dtype=np.int64), (50, 1))
+    d1, i1 = sharded_search(sharded, queries, order, k=8)
+    d2, i2 = sharded_search(sharded_host, queries, order, k=8)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
