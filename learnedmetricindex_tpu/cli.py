@@ -80,6 +80,7 @@ def run(
     dtype: str = "float32",
     batch_size: int = 256,
     out_dir: str = "result",
+    shard_devices: int = 0,
 ):
     """Cf. reference ``run`` (``search/search.py:108-170``)."""
     import learnedmetricindex_tpu as lmi
@@ -138,7 +139,15 @@ def run(
         chunk_size=chunk_size,
         dtype=dtype,
     )
-    builder = lmi.LearnedIndexBuilder(data, config)
+    mesh = None
+    if shard_devices:
+        from learnedmetricindex_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(shard_devices if shard_devices > 0 else None)
+        LOG.info(
+            "Sharding over mesh %s", dict(zip(mesh.axis_names, mesh.devices.shape))
+        )
+    builder = lmi.LearnedIndexBuilder(data, config, mesh=mesh)
     index, data_prediction, n_buckets_in_index, build_t, cluster_t = builder.build()
     LOG.info("Total number of buckets in the index: %d", n_buckets_in_index)
     LOG.info("Cluster time: %.2f", cluster_t)
@@ -166,6 +175,11 @@ def run(
         n_buckets = sorted(set(b for b in n_buckets if b > 0))
     LOG.info("Number of buckets to search in: %s", n_buckets)
 
+    shared_store = None
+    if mesh is not None:
+        shared_store = index.get_sharded_store(
+            data_search, data_prediction, mesh
+        )
     results = []
     for bucket in n_buckets:
         LOG.info("Searching with %d buckets", bucket)
@@ -179,6 +193,7 @@ def run(
             n_buckets=bucket,
             k=k,
             policy=policy,
+            store=shared_store,
         )
         for key_t in ("inference", "search", "search_within_buckets",
                       "seq_search", "sort"):
@@ -250,6 +265,11 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["float32", "bfloat16"])
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--out-dir", default="result")
+    parser.add_argument(
+        "--shard-devices", type=int, default=0, metavar="N",
+        help="shard build and search over an N-device mesh "
+        "(-1 = all devices; 0 = single-device, the default)",
+    )
     return parser
 
 
@@ -300,6 +320,7 @@ def main(argv=None):
         dtype=args.dtype,
         batch_size=args.batch_size,
         out_dir=args.out_dir,
+        shard_devices=args.shard_devices,
     )
 
 

@@ -70,7 +70,7 @@ def _guarded_n_clusters(n_rows: int, n_clusters: int) -> int:
 
 
 class LearnedIndexBuilder(Logger):
-    def __init__(self, data, config: BuildConfiguration):
+    def __init__(self, data, config: BuildConfiguration, mesh=None):
         # ``data`` may be (values, row_scales) for an int8-quantized
         # corpus (see ops/quantize.py)
         if isinstance(data, tuple):
@@ -81,6 +81,13 @@ class LearnedIndexBuilder(Logger):
             self.data = _as_array(data)
             self.row_scales = None
         self.config = config
+        # Optional ("data", "model") jax.sharding.Mesh: clustering runs
+        # as mesh-sharded Lloyd's (psum centroid reduction over ICI) and
+        # all node models train expert-parallel over "model" with corpus
+        # rows over the mesh (parallel/distributed.py,
+        # models/train.py StackedNodeTrainer(mesh=...)).  The reference
+        # has no distributed counterpart (SURVEY.md §2.3).
+        self.mesh = mesh
 
     def build(self) -> Tuple[LearnedIndex, np.ndarray, int, float, float]:
         s = time.perf_counter()
@@ -127,7 +134,6 @@ class LearnedIndexBuilder(Logger):
                     class_mask[gid, :1] = True
                     continue
                 k_g = _guarded_n_clusters(len(rows), C)
-                algo = clustering_algorithms[params.clustering_algorithm]
                 sub_scales = None
                 if self.row_scales is not None:
                     sub_scales = (
@@ -135,15 +141,37 @@ class LearnedIndexBuilder(Logger):
                         if len(rows) == n
                         else self.row_scales[rows]
                     )
-                _, lab = algo(
-                    subset,
-                    k_g,
-                    {
-                        "seed": cfg.seed + level * 1_000_003 + int(gid),
-                        "round_sizes": level > 0,
-                        "row_scales": sub_scales,
-                    },
-                )
+                seed_g = cfg.seed + level * 1_000_003 + int(gid)
+                if (
+                    self.mesh is not None
+                    and level == 0
+                    and len(rows) >= 2 * self.mesh.devices.size
+                ):
+                    # mesh path: rows sharded over every device, psum
+                    # centroid reduction (level 0 = the whole corpus;
+                    # deeper levels are many small per-node problems)
+                    from learnedmetricindex_tpu.parallel.distributed import (
+                        sharded_kmeans,
+                    )
+
+                    _, lab = sharded_kmeans(
+                        subset,
+                        k_g,
+                        self.mesh,
+                        seed=seed_g,
+                        row_scales=sub_scales,
+                    )
+                else:
+                    algo = clustering_algorithms[params.clustering_algorithm]
+                    _, lab = algo(
+                        subset,
+                        k_g,
+                        {
+                            "seed": seed_g,
+                            "round_sizes": level > 0,
+                            "row_scales": sub_scales,
+                        },
+                    )
                 # Compact to a dense label range — the reference's
                 # ``len(np.unique(labels))`` shrink (builder:159-167)
                 # assumes labels are dense; guarantee it.
@@ -184,6 +212,7 @@ class LearnedIndexBuilder(Logger):
                 lr=params.lr,
                 batch_size=cfg.batch_size,
                 seed=cfg.seed + level,
+                mesh=self.mesh,
             )
             trainer.set_class_mask(class_mask)
             preds_slots, rounds = trainer.fit(grouped, params.epochs)

@@ -229,6 +229,42 @@ class LearnedIndex(Logger):
         self._store_cache = (values, data_prediction, store)
         return store
 
+    def get_sharded_store(
+        self, data_search, data_prediction: np.ndarray, mesh, chunk=None
+    ):
+        """Build (and cache) a bucket-sharded multi-chip store: leaf
+        buckets balanced over ``mesh`` devices, each chip holding only
+        its slabs (``corpus_bytes / n_devices`` per chip for int8).
+        Pass the result as ``store=`` to :meth:`search` to run the scan
+        as per-device local work + one ICI-merged top-k."""
+        from learnedmetricindex_tpu.parallel.sharded_index import shard_store
+
+        values, scales = (
+            data_search if isinstance(data_search, tuple) else (data_search, None)
+        )
+        cached = self._store_cache
+        if (
+            cached is not None
+            and cached[0] is values
+            and cached[1] is data_prediction
+            and getattr(cached[2], "mesh", None) is mesh
+        ):
+            return cached[2]
+        from learnedmetricindex_tpu.index.builder import _as_array
+
+        bucket_ids = self.bucket_ids_from_prediction(data_prediction)
+        n_total = int(np.prod(self.config.n_categories, dtype=np.int64))
+        store = shard_store(
+            _as_array(values),
+            bucket_ids,
+            n_total,
+            mesh,
+            chunk=chunk or min(self.config.chunk_size, 256),
+            row_scales=None if scales is None else np.asarray(scales),
+        )
+        self._store_cache = (values, data_prediction, store)
+        return store
+
     def _tree_probs(self, queries_navigation: jnp.ndarray):
         level_probs = [
             _level_probs(level, queries_navigation) for level in self.levels
@@ -331,6 +367,26 @@ class LearnedIndex(Logger):
             if isinstance(queries_search, jax.Array)
             else np.asarray(queries_search, dtype=np.float32)
         )
+
+        from learnedmetricindex_tpu.parallel.sharded_index import (
+            ShardedStore,
+            sharded_search,
+        )
+
+        if isinstance(store, ShardedStore):
+            # multi-chip path: per-device local scans + ICI top-k merge
+            dists, anns = sharded_search(
+                store,
+                np.asarray(q_search, dtype=np.float32),
+                order,
+                k=k,
+                qtile=min(qtile, 32),
+            )
+            t_scan = time.perf_counter() - s_scan
+            measured["search_within_buckets"] = t_scan
+            measured["seq_search"] = t_scan
+            measured["search"] = time.perf_counter() - s
+            return dists, anns, measured
         # Default two-stage scan: bulk pass at fast DEFAULT precision
         # with a k+margin shortlist, then exact HIGHEST-precision rerank
         # of the shortlist (bf16 matmul noise of ±2e-3 would otherwise

@@ -253,7 +253,16 @@ def _coverage(preds, labels, tile_model, class_mask, *, n_models, n_classes):
 class StackedNodeTrainer(Logger):
     """Trains ``n_models`` same-architecture MLPs concurrently, each on
     its own row segment, until every model's predictions cover all of
-    its valid classes."""
+    its valid classes.
+
+    ``mesh``: an optional ``("data", "model")`` mesh.  When given, the
+    stacked parameter/optimizer pytrees are placed with the model axis
+    sharded over ``"model"`` (expert-parallel: sibling node models are
+    the experts) and the corpus rows over the whole mesh; the standard
+    JAX recipe applies — the jitted step is unchanged, XLA propagates
+    the shardings and inserts the collectives (gradient ``psum`` over
+    data, batch gathers across row shards).
+    """
 
     def __init__(
         self,
@@ -264,11 +273,13 @@ class StackedNodeTrainer(Logger):
         lr: float = 0.01,
         batch_size: int = 256,
         seed: int = 2023,
+        mesh=None,
     ):
         self.n_models = n_models
         self.n_classes = n_classes
         self.batch_size = batch_size
         self.lr = lr
+        self.mesh = mesh
         self.key = jax.random.PRNGKey(seed)
         self.key, init_key = jax.random.split(self.key)
         self.params = init_stacked_mlp(
@@ -276,12 +287,70 @@ class StackedNodeTrainer(Logger):
         )
         self.opt_state = optax.adam(lr).init(self.params)
         self.class_mask = jnp.ones((n_models, n_classes), bool)
+        if mesh is not None:
+            self.params = self._place_model_tree(self.params)
+            self.opt_state = self._place_model_tree(self.opt_state)
+            self.class_mask = self._place_model_tree(self.class_mask)
+
+    def _place_model_tree(self, tree):
+        """Shard every model-stacked leaf over the ``"model"`` axis
+        (leaves without the leading model axis — e.g. Adam's step
+        counter — are replicated)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        model_axis = self.mesh.shape["model"]
+
+        def put(leaf):
+            if (
+                hasattr(leaf, "ndim")
+                and leaf.ndim >= 1
+                and leaf.shape[0] == self.n_models
+                and self.n_models % model_axis == 0
+            ):
+                return jax.device_put(leaf, NamedSharding(self.mesh, P("model")))
+            if hasattr(leaf, "ndim"):
+                # few models (e.g. the level-0 root): replicate; the
+                # batch axis still parallelizes over "data"
+                return jax.device_put(leaf, NamedSharding(self.mesh, P()))
+            return leaf
+
+        return jax.tree.map(put, tree)
+
+    def _place_grouped(self, grouped: GroupedData) -> GroupedData:
+        """Shard the corpus rows over the whole mesh; the index arrays
+        (slot maps, labels — 4 bytes/row) are replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rows = NamedSharding(self.mesh, P(("data", "model"), None))
+        rows1 = NamedSharding(self.mesh, P(("data", "model")))
+        repl = NamedSharding(self.mesh, P())
+        # pad rows to a mesh multiple (device_put needs even shards);
+        # slot indices never reach the pad rows
+        n = grouped.x.shape[0]
+        pad = (-n) % self.mesh.devices.size
+        x = jnp.pad(jnp.asarray(grouped.x), ((0, pad), (0, 0))) if pad else grouped.x
+        x_scales = grouped.x_scales
+        if x_scales is not None and pad:
+            x_scales = jnp.pad(jnp.asarray(x_scales), (0, pad))
+        return grouped._replace(
+            x=jax.device_put(x, rows),
+            x_scales=(
+                None if x_scales is None else jax.device_put(x_scales, rows1)
+            ),
+            slot_rows=jax.device_put(grouped.slot_rows, repl),
+            labels=jax.device_put(grouped.labels, repl),
+            tile_model=jax.device_put(grouped.tile_model, repl),
+            seg_starts=jax.device_put(grouped.seg_starts, repl),
+            seg_lens=jax.device_put(grouped.seg_lens, repl),
+        )
 
     def set_class_mask(self, mask) -> None:
         """(n_models, n_classes) bool — False marks classes a node does
         not use (its clustering returned fewer clusters; cf. the
         reference's n_categories shrink at ``builder:161-167``)."""
         self.class_mask = jnp.asarray(mask, dtype=bool)
+        if self.mesh is not None:
+            self.class_mask = self._place_model_tree(self.class_mask)
 
     def fit(
         self,
@@ -300,6 +369,8 @@ class StackedNodeTrainer(Logger):
         steps_per_epoch = max(1, -(-max_len // self.batch_size))
         steps = steps_per_epoch * epochs
 
+        if self.mesh is not None:
+            grouped = self._place_grouped(grouped)
         active = jnp.ones((self.n_models,), bool)
         rounds = 0
         while True:

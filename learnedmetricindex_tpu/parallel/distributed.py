@@ -37,30 +37,48 @@ from learnedmetricindex_tpu.models.train import NEG_INF
 # sharded k-means
 # ----------------------------------------------------------------------
 def sharded_kmeans(
-    data: np.ndarray,
+    data,
     n_clusters: int,
     mesh: Mesh,
     n_iters: int = 25,
     seed: int = 2023,
+    row_scales=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Lloyd's k-means with rows sharded across the whole mesh.
 
     Semantics match :func:`learnedmetricindex_tpu.ops.kmeans.kmeans`
     (seeded init from data points, deterministic empty-cluster resplit);
     the centroid reduction crosses the mesh via XLA-inserted ``psum``.
+
+    ``data`` may be a host array or a device-resident ``jax.Array``
+    (resharded over the mesh without a host round-trip).
+    ``row_scales``: per-row dequantization scales for int8 corpora.
     """
-    data = np.asarray(data, dtype=np.float32)
     n, d = data.shape
     n_clusters = min(n_clusters, n)
     n_dev = mesh.devices.size
     pad = (-n) % n_dev
-    if pad:
-        data = np.concatenate([data, np.zeros((pad, d), np.float32)])
+    if isinstance(data, jax.Array):
+        if pad:
+            data = jnp.pad(data, ((0, pad), (0, 0)))
+    else:
+        data = np.asarray(data, dtype=np.float32)
+        if pad:
+            data = np.concatenate([data, np.zeros((pad, d), np.float32)])
+    if row_scales is not None:
+        row_scales = jnp.asarray(row_scales, jnp.float32)
+        if pad:
+            row_scales = jnp.pad(row_scales, (0, pad))
     row_sharding = NamedSharding(mesh, P(("data", "model"), None))
     label_sharding = NamedSharding(mesh, P(("data", "model")))
     repl = NamedSharding(mesh, P())
 
     data_dev = jax.device_put(data, row_sharding)
+    scales_dev = (
+        None
+        if row_scales is None
+        else jax.device_put(row_scales, NamedSharding(mesh, P(("data", "model"))))
+    )
     key = jax.random.PRNGKey(seed)
 
     @functools.partial(
@@ -68,7 +86,10 @@ def sharded_kmeans(
         static_argnames=("k", "iters"),
         out_shardings=(repl, label_sharding),
     )
-    def run(x, n_valid, key, *, k, iters):
+    def run(x, scales, n_valid, key, *, k, iters):
+        x = x.astype(jnp.float32)
+        if scales is not None:
+            x = x * scales[:, None]
         row_ids = jnp.arange(x.shape[0])
         valid = (row_ids < n_valid).astype(jnp.float32)
         init_idx = jax.random.randint(key, (k,), 0, n_valid)
@@ -104,7 +125,9 @@ def sharded_kmeans(
         labels = jnp.argmin(c2 - 2.0 * sims, axis=1).astype(jnp.int32)
         return centroids, labels
 
-    centroids, labels = run(data_dev, jnp.int32(n), key, k=n_clusters, iters=n_iters)
+    centroids, labels = run(
+        data_dev, scales_dev, jnp.int32(n), key, k=n_clusters, iters=n_iters
+    )
     return np.asarray(centroids), np.asarray(labels)[:n]
 
 
