@@ -5,24 +5,36 @@ Reference headline (BASELINE.md): LAION 10M, 120 leaf buckets, MLP-4
 (1×512), visit 4 buckets → recall@10 = 0.914, search = 220 s / 10k
 queries, build = 20,828 s on one CPU core.
 
-This benchmark reproduces that *configuration* on one TPU chip with
-seeded synthetic clustered embeddings (unit-norm Gaussian mixture —
-LAION itself needs a network download; the workload shape, a 10M×768
-device-resident corpus, is the same).  The ENTIRE corpus lives on the
-device; host↔device traffic is limited to small index structures (this
-environment's transfer path runs at tens of MB/s, so the virtual
-bucket-store / virtual-grouping design is also what makes the benchmark
-feasible at all).
+**Data regime (read before comparing numbers).**  This environment has
+no network egress, so the benchmark reproduces the reference's
+*configuration and workload shape* (10M×768 unit vectors, 120 buckets,
+MLP-4, visit 4) on seeded synthetic clustered embeddings — NOT on
+LAION.  Recall on synthetic blobs is not comparable to the reference's
+0.914-on-LAION; the JSON therefore reports the data regime explicitly
+(``data`` field), a full recall-vs-visit curve, and recall against
+ground truth computed for ALL queries.  ``--hard`` switches to an
+adversarial mixture (few latent clusters ≪ buckets, heavy overlap,
+off-distribution query noise) where navigation is genuinely hard.
+The north-star recall condition (≥0.914 on LAION-10M) is unverifiable
+here and is marked as such in README.md.
 
-Prints exactly ONE JSON line:
+**Memory plan.**  Corpus rows are a pure function of the row index
+(per-row ``fold_in`` PRNG), so the packed bucket store is built by
+*regenerating* rows directly into their slots after the corpus buffer
+is freed — peak HBM is one corpus-sized buffer, never two, which is
+what lets the full 10M×768 reference scale run on a single 16 GB v5e
+chip (and leaves headroom for larger ``--n``).
 
-    {"metric": ..., "value": <search seconds / 10k queries>,
-     "unit": "s", "vs_baseline": <220 / value>, ...}
+Prints exactly ONE JSON line with the flagship metric; the 2-level
+tree sweep (notebook config, ``01-Introduction.ipynb`` cells 5,14,22)
+is included as a sub-object and written to ``bench_artifacts/``
+(res.csv + plot) unless ``--skip-two-level``.
 """
 
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
@@ -33,107 +45,230 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def gen_blobs_on_device(n, d, n_clusters, seed, n_queries, dtype, block=500_000):
-    """Generate a unit-norm clustered corpus directly INTO a persistent
-    device buffer (donated updates; nothing crosses the host).
+class RowGenerator:
+    """Deterministic per-row corpus: ``row -> fold_in(key, row) ->
+    (cluster assignment, unit-norm noisy point)``.  Any subset of rows
+    can be (re)generated on device in any order — the packed store is
+    filled without the corpus resident."""
 
-    ``dtype="int8"`` quantizes per row (ops/quantize.py) and returns
-    ``((values int8, scales f32), queries)``."""
+    def __init__(self, n_clusters, d, seed, noise_scale, query_noise=0.0):
+        import jax
+        import jax.numpy as jnp
+
+        self.d = d
+        self.n_clusters = n_clusters
+        base = jax.random.PRNGKey(seed)
+        ckey = jax.random.fold_in(base, 2**31 - 2)
+        centers = jax.random.normal(ckey, (n_clusters, d), jnp.float32)
+        centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+        noise = noise_scale / float(np.sqrt(d))
+        qnoise = query_noise / float(np.sqrt(d))
+
+        @jax.jit
+        def rows_from_ids(row_ids):
+            keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                base, row_ids
+            )
+            k_assign = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, 0)
+            k_noise = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, 1)
+            assign = jax.vmap(
+                lambda k: jax.random.randint(k, (), 0, n_clusters)
+            )(k_assign)
+            eps = jax.vmap(lambda k: jax.random.normal(k, (d,), jnp.float32))(
+                k_noise
+            )
+            x = centers[assign] + noise * eps
+            return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+        @jax.jit
+        def queries_from_ids(row_ids):
+            # queries draw from the same mixture; ``query_noise`` adds an
+            # off-distribution perturbation (hard mode) so queries do NOT
+            # sit exactly on the corpus manifold
+            x = rows_from_ids(row_ids)
+            if qnoise > 0.0:
+                keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                    base, row_ids
+                )
+                k_q = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, 2)
+                eps = jax.vmap(
+                    lambda k: jax.random.normal(k, (d,), jnp.float32)
+                )(k_q)
+                x = x + qnoise * eps
+                x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+            return x
+
+        self.rows_from_ids = rows_from_ids
+        self.queries_from_ids = queries_from_ids
+
+    def fill_corpus_int8(self, n, block=500_000):
+        """Generate rows [0, n) into a persistent int8 device buffer
+        (+ per-row scales); nothing crosses the host."""
+        import jax
+        import jax.numpy as jnp
+
+        from learnedmetricindex_tpu.ops.quantize import quantize_rows
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def write_q(buf, sbuf, row_ids, start):
+            q, sc = quantize_rows(self.rows_from_ids(row_ids))
+            return (
+                jax.lax.dynamic_update_slice(buf, q, (start, 0)),
+                jax.lax.dynamic_update_slice(sbuf, sc, (start,)),
+            )
+
+        buf = jnp.zeros((n, self.d), jnp.int8)
+        sbuf = jnp.zeros((n,), jnp.float32)
+        made = 0
+        while made < n:
+            rows = min(block, n - made)
+            ids = jnp.arange(made, made + rows, dtype=jnp.int32)
+            buf, sbuf = write_q(buf, sbuf, ids, jnp.int32(made))
+            made += rows
+        buf.block_until_ready()
+        return buf, sbuf
+
+    def make_queries(self, n, n_queries):
+        import jax.numpy as jnp
+
+        return self.queries_from_ids(
+            jnp.arange(n, n + n_queries, dtype=jnp.int32)
+        ).block_until_ready()
+
+
+def pack_store_by_regen(index, pred, gen: RowGenerator, n, chunk,
+                        slab_chunks=128):
+    """Build the packed int8 bucket store by regenerating each slot's
+    row directly into place (peak HBM = the store, not store+corpus)."""
     import jax
     import jax.numpy as jnp
 
+    from learnedmetricindex_tpu import native
+    from learnedmetricindex_tpu.index.bucket_store import BucketStore
     from learnedmetricindex_tpu.ops.quantize import quantize_rows
 
-    key = jax.random.PRNGKey(seed)
-    ckey, key = jax.random.split(key)
-    centers = jax.random.normal(ckey, (n_clusters, d), jnp.float32)
-    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
-    # total deviation norm ~0.45 of the unit center norm: clustered but
-    # overlapping, CLIP-like (a raw per-dim std would be isotropic mush)
-    noise = 0.45 / float(np.sqrt(d))
+    bucket_ids = index.bucket_ids_from_prediction(pred)
+    n_total = int(np.prod(index.config.n_categories, dtype=np.int64))
+    counts = native.bincount(bucket_ids, n_total)
+    nchunks = -(-counts // chunk)
+    starts = np.concatenate([[0], np.cumsum(nchunks)]).astype(np.int32)
+    total_chunks = int(starts[-1])
+    ids_host = native.fill_slots_1based(
+        bucket_ids, starts.astype(np.int64) * chunk, total_chunks * chunk
+    )
+    row_slot = np.empty(n, np.int32)
+    valid = ids_host > 0
+    row_slot[ids_host[valid] - 1] = np.nonzero(valid)[0].astype(np.int32)
 
-    @functools.partial(jax.jit, static_argnames=("rows", "out_dtype"))
-    def make_block(bkey, rows, out_dtype=jnp.float32):
-        akey, nkey = jax.random.split(bkey)
-        assign = jax.random.randint(akey, (rows,), 0, n_clusters)
-        x = centers[assign] + noise * jax.random.normal(nkey, (rows, d), jnp.float32)
-        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
-        return x.astype(out_dtype)
+    # buffer padded to a slab multiple so the slab write never clamps
+    padded_chunks = -(-total_chunks // slab_chunks) * slab_chunks
+    ids_padded = np.zeros(padded_chunks * chunk, np.int32)
+    ids_padded[: total_chunks * chunk] = ids_host
+    ids_dev = jnp.asarray(ids_padded.reshape(padded_chunks, chunk))
 
-    @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("start",))
-    def write_block(buf, blk, *, start):
-        return jax.lax.dynamic_update_slice(
-            buf, blk.astype(buf.dtype), (start, 0)
-        )
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("start",))
-    def write_block_q(buf, sbuf, blk, *, start):
-        q, sc = quantize_rows(blk)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def fill(buf, sbuf, ids_slab, start):
+        flat = ids_slab.reshape(-1)
+        x = gen.rows_from_ids(jnp.maximum(flat - 1, 0))
+        q, sc = quantize_rows(x)
+        m = flat > 0
+        q = jnp.where(m[:, None], q, 0)
+        sc = jnp.where(m, sc, 0.0)
         return (
             jax.lax.dynamic_update_slice(buf, q, (start, 0)),
             jax.lax.dynamic_update_slice(sbuf, sc, (start,)),
         )
 
-    int8 = jnp.dtype(dtype) == jnp.int8
-    gen_dtype = jnp.float32 if int8 else dtype
-    buf = jnp.zeros((n, d), dtype=jnp.int8 if int8 else dtype)
-    sbuf = jnp.zeros((n,), jnp.float32) if int8 else None
-    made = 0
-    while made < n:
-        rows = min(block, n - made)
-        key, bkey = jax.random.split(key)
-        blk = make_block(bkey, rows, gen_dtype)
-        if int8:
-            buf, sbuf = write_block_q(buf, sbuf, blk, start=made)
-        else:
-            buf = write_block(buf, blk, start=made)
-        made += rows
+    buf = jnp.zeros((padded_chunks * chunk, gen.d), jnp.int8)
+    sbuf = jnp.zeros((padded_chunks * chunk,), jnp.float32)
+    for s0 in range(0, padded_chunks, slab_chunks):
+        buf, sbuf = fill(
+            buf, sbuf, ids_dev[s0 : s0 + slab_chunks], jnp.int32(s0 * chunk)
+        )
     buf.block_until_ready()
-    key, qkey = jax.random.split(key)
-    queries = make_block(qkey, n_queries).astype(jnp.float32)
-    if int8:
-        return (buf, sbuf), queries
-    return buf, queries
+
+    return BucketStore(
+        chunk_ids=jnp.asarray(ids_host.reshape(total_chunks, chunk)),
+        bucket_chunk_start=starts,
+        bucket_sizes=counts.astype(np.int32),
+        chunk=chunk,
+        n_buckets=n_total,
+        chunk_data=buf,
+        chunk_scales=sbuf,
+        row_slot=jnp.asarray(row_slot),
+    )
+
+
+def timed_search(index, queries, pred, visit, store, approx, margin, reps):
+    """One untimed warmup (compilation at this visit-set shape), then
+    ``reps`` timed passes; returns the median."""
+    times, anns = [], None
+    for rep in range(reps + 1):
+        _, anns, t = index.search(
+            None, queries, None, queries, pred, None,
+            n_buckets=visit, k=10, approx_recall=approx, store=store,
+            rerank_margin=margin,
+        )
+        if rep:
+            times.append(t["search"])
+    return float(np.median(times)), anns, t
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--n", type=int, default=9_000_000)
+    p.add_argument("--n", type=int, default=10_000_000)
     p.add_argument("--d", type=int, default=768)
     p.add_argument("--buckets", type=int, default=120)
     p.add_argument("--visit", type=int, default=4)
     p.add_argument("--queries", type=int, default=10_000)
-    p.add_argument("--gt-queries", type=int, default=1_000)
+    p.add_argument("--gt-queries", type=int, default=0,
+                   help="queries with ground truth (0 = ALL queries)")
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--model", default="MLP-4")
     p.add_argument("--lr", type=float, default=0.01)
-    p.add_argument("--dtype", default="int8",
-                   choices=["float32", "bfloat16", "int8"])
-    p.add_argument("--store", default="packed", choices=["virtual", "packed"])
     p.add_argument("--chunk", type=int, default=2048)
     p.add_argument("--latent-clusters", type=int, default=256)
+    p.add_argument("--noise", type=float, default=0.45)
+    p.add_argument("--query-noise", type=float, default=0.0)
+    p.add_argument("--hard", action="store_true",
+                   help="adversarial synthetic: 32 latent clusters "
+                        "(≪ 120 buckets), heavy overlap (noise 0.9), "
+                        "off-distribution query noise 0.3")
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--approx-recall", type=float, default=0.95,
                    help="per-item approx top-k recall target; 0 = exact. "
-                        "0.95 + the exact rerank measures ~0.18s faster "
-                        "than the exact k-pass at 9M with recall 0.9998")
+                        "0.95 + the exact rerank measures faster than the "
+                        "exact k-pass with final recall unchanged")
     p.add_argument("--rerank-margin", type=int, default=2)
+    p.add_argument("--recall-curve", default="1,2,4,8",
+                   help="comma list of visit counts for the recall-vs-"
+                        "visit curve ('' = skip; large visit counts at "
+                        "10M can exceed HBM next to the packed store)")
+    p.add_argument("--skip-two-level", action="store_true")
+    p.add_argument("--two-level-categories", default="10,10")
     p.add_argument("--quick", action="store_true",
                    help="small smoke config (200K x 96)")
     args = p.parse_args()
 
+    if args.hard:
+        args.latent_clusters, args.noise, args.query_noise = 32, 0.9, 0.3
     if args.quick:
         args.n, args.d, args.latent_clusters = 200_000, 96, 64
-        args.queries, args.gt_queries = 2_000, 500
-    result_extra = {"dtype": args.dtype, "store": args.store}
+        args.queries = 2_000
+        args.recall_curve = "1,2,4"
+    gt_q = args.gt_queries or args.queries
+    regime = (
+        f"synthetic-hard(c={args.latent_clusters},noise={args.noise},"
+        f"qnoise={args.query_noise})"
+        if args.hard
+        else f"synthetic(c={args.latent_clusters},noise={args.noise})"
+    )
 
     import jax
-    import jax.numpy as jnp
 
-    # persistent compilation cache: build/search wall-clock is otherwise
-    # dominated by fresh-process XLA compiles (the sort-merge alone
-    # compiles for ~2 minutes)
+    # persistent compilation cache: fresh-process XLA compiles otherwise
+    # dominate wall-clock (the sort-merge alone compiles ~2 minutes)
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/lmi-jax-cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -144,35 +279,28 @@ def main():
     import learnedmetricindex_tpu as lmi
     from learnedmetricindex_tpu.ops.knn import exact_knn, recall
 
-    log(f"generating {args.n/1e6:g}M x {args.d} corpus on device ({args.dtype}) ...")
-    t0 = time.perf_counter()
-    data, queries = gen_blobs_on_device(
-        args.n, args.d, args.latent_clusters, 2023, args.queries,
-        args.dtype,
+    gen = RowGenerator(
+        args.latent_clusters, args.d, 2023, args.noise, args.query_noise
     )
-    if isinstance(data, tuple):
-        values, scales = data
-    else:
-        values, scales = data, None
+    log(f"generating {args.n/1e6:g}M x {args.d} corpus on device (int8, "
+        f"{regime}) ...")
+    t0 = time.perf_counter()
+    values, scales = gen.fill_corpus_int8(args.n)
+    queries = gen.make_queries(args.n, args.queries)
     log(f"  corpus ready in {time.perf_counter() - t0:.1f}s "
         f"({values.nbytes/1e9:.1f} GB on device)")
 
-    log(f"ground truth for {args.gt_queries} queries (device-resident) ...")
+    log(f"ground truth for {gt_q}/{args.queries} queries (device) ...")
     t0 = time.perf_counter()
-    _, gt = exact_knn(values, queries[: args.gt_queries], k=10,
-                      tile_rows=131_072, row_scales=scales)
+    _, gt = exact_knn(values, queries[:gt_q], k=10, tile_rows=131_072,
+                      row_scales=scales)
     log(f"  gt in {time.perf_counter() - t0:.1f}s")
 
+    data = (values, scales)
     cfg = lmi.BuildConfiguration(
-        "kmeans",
-        args.epochs,
-        args.model,
-        args.lr,
-        [args.buckets],
-        seed=2023,
-        batch_size=args.batch_size,
-        chunk_size=args.chunk,
-        dtype="bfloat16" if args.dtype == "int8" else args.dtype,
+        "kmeans", args.epochs, args.model, args.lr, [args.buckets],
+        seed=2023, batch_size=args.batch_size, chunk_size=args.chunk,
+        dtype="bfloat16",
     )
     log(f"building index ({args.buckets} buckets, {args.model}, "
         f"{args.epochs} epochs, batch {args.batch_size}) ...")
@@ -181,49 +309,118 @@ def main():
     ).build()
     log(f"  build {build_t:.1f}s (cluster {cluster_t:.1f}s), {n_buckets} buckets")
 
-    store = None
-    if args.store == "packed":
-        log("packing device store ...")
+    two_cfg = two_index = two_pred = None
+    if not args.skip_two_level:
+        cats = [int(c) for c in args.two_level_categories.split(",")]
+        two_cfg = lmi.BuildConfiguration(
+            "kmeans", args.epochs, args.model, args.lr, cats,
+            seed=2023, batch_size=args.batch_size, chunk_size=args.chunk,
+            dtype="bfloat16",
+        )
+        log(f"building 2-level index ({cats} categories) ...")
         t0 = time.perf_counter()
-        store = index.prepare_packed_store(data, pred)
-        # the packed store is self-contained: free the corpus
-        index._store_cache = {}
-        del data, values, scales
-        data = values = scales = None
-        import gc as _gc
+        two_index, two_pred, two_nb, two_build_t, _ = lmi.LearnedIndexBuilder(
+            data, two_cfg
+        ).build()
+        log(f"  2-level build {two_build_t:.1f}s, {two_nb} buckets")
 
-        _gc.collect()
-        log(f"  packed {store.nbytes()/1e9:.1f} GB in {time.perf_counter()-t0:.1f}s"
-            " (corpus dropped)")
+    # free the corpus; the packed store is regenerated into place
+    del data, values, scales
+    import gc
 
-    log("bucket store + warmup search ...")
+    gc.collect()
+    log("packing device store (regeneration, corpus freed) ...")
     t0 = time.perf_counter()
+    store = pack_store_by_regen(index, pred, gen, args.n, args.chunk)
+    log(f"  packed {store.nbytes()/1e9:.1f} GB in {time.perf_counter()-t0:.1f}s")
+
     approx = args.approx_recall if args.approx_recall > 0 else None
-    _, warm_anns, warm_t = index.search(
-        data, queries, data, queries, pred, cfg.n_categories,
+    log("warmup search ...")
+    t0 = time.perf_counter()
+    _, _, warm_t = index.search(
+        None, queries, None, queries, pred, None,
         n_buckets=args.visit, k=10, approx_recall=approx, store=store,
         rerank_margin=args.rerank_margin,
     )
-    log(f"  warmup (incl. store build + compile): {time.perf_counter() - t0:.1f}s "
+    log(f"  warmup (incl. compile): {time.perf_counter() - t0:.1f}s "
         f"[{ {k: round(v, 3) for k, v in warm_t.items()} }]")
 
-    times = []
-    for rep in range(args.reps):
-        _, anns, t = index.search(
-            data, queries, data, queries, pred, cfg.n_categories,
-            n_buckets=args.visit, k=10, approx_recall=approx, store=store,
-            rerank_margin=args.rerank_margin,
-        )
-        times.append(t["search"])
-        log(f"  rep {rep}: search={t['search']:.3f}s "
-            f"(inference={t['inference']:.3f}s scan={t['seq_search']:.3f}s)")
-    search_s = float(np.median(times))
+    search_s, anns, t_last = timed_search(
+        index, queries, pred, args.visit, store, approx,
+        args.rerank_margin, args.reps,
+    )
+    log(f"  median search={search_s:.3f}s (last: inference="
+        f"{t_last['inference']:.3f}s scan={t_last['seq_search']:.3f}s)")
     value = search_s * (10_000 / args.queries)
-
-    r = recall(anns[: args.gt_queries], gt, 10)
+    r = recall(anns[:gt_q], gt, 10)
     log(f"recall@10 ({args.visit}/{n_buckets} buckets): {r:.4f}")
 
-    baseline_s = 220.0
+    curve = {}
+    if args.recall_curve:
+        for v in [int(x) for x in args.recall_curve.split(",")]:
+            v = min(v, n_buckets)
+            try:
+                sv, av, _ = timed_search(
+                    index, queries, pred, v, store, approx,
+                    args.rerank_margin, 1,
+                )
+            except Exception as e:  # e.g. HBM OOM at large visit counts
+                log(f"  curve visit={v}: skipped ({type(e).__name__})")
+                continue
+            curve[str(v)] = {
+                "recall": round(recall(av[:gt_q], gt, 10), 4),
+                "search_s": round(sv * (10_000 / args.queries), 3),
+            }
+            log(f"  curve visit={v}: recall={curve[str(v)]['recall']} "
+                f"search={curve[str(v)]['search_s']}s")
+
+    two = None
+    if two_index is not None:
+        del store
+        index._store_cache = None
+        gc.collect()
+        log("packing 2-level store (regeneration) ...")
+        store2 = pack_store_by_regen(two_index, two_pred, gen, args.n,
+                                     args.chunk)
+        os.makedirs("bench_artifacts", exist_ok=True)
+        from learnedmetricindex_tpu import eval as lmi_eval
+
+        result_files = []
+        two = {"build_s": round(two_build_t, 2), "buckets": two_nb,
+               "visits": {}}
+        for v in (1, 2, 4, 6, 10):
+            v = min(v, two_nb)
+            try:
+                sv, av, _ = timed_search(
+                    two_index, queries, two_pred, v, store2, approx,
+                    args.rerank_margin, 1,
+                )
+            except Exception as e:
+                log(f"  2-level visit={v}: skipped ({type(e).__name__})")
+                continue
+            rv = recall(av[:gt_q], gt, 10)
+            two["visits"][str(v)] = {
+                "recall": round(rv, 4),
+                "search_s": round(sv * (10_000 / args.queries), 3),
+            }
+            log(f"  2-level visit={v}: recall={rv:.4f} search={sv:.3f}s")
+            dst = f"bench_artifacts/two_level_v{v}.h5"
+            dd = np.zeros((len(av), 10), np.float32)
+            lmi_eval.store_results(
+                dst, "learned-index-2level", regime, dd, av,
+                two_build_t, sv, f"cats={args.two_level_categories}-v={v}",
+                f"{args.n}",
+            )
+            result_files.append(dst)
+        rows = lmi_eval.evaluate_to_csv(
+            result_files, gt, csv_path="bench_artifacts/res.csv"
+        )
+        try:
+            lmi_eval.plot_results(rows, "bench_artifacts/result.png")
+            log("  wrote bench_artifacts/res.csv + result.png")
+        except RuntimeError as e:  # pragma: no cover
+            log(f"  plot skipped: {e}")
+
     result = {
         "metric": (
             f"search_s_per_10k_queries[{args.n/1e6:g}Mx{args.d}, "
@@ -231,13 +428,19 @@ def main():
         ),
         "value": round(value, 4),
         "unit": "s",
-        "vs_baseline": round(baseline_s / value, 2),
+        "vs_baseline": round(220.0 / value, 2),
         "recall_at_10": round(r, 4),
+        "data": regime,
+        "recall_comparable_to_reference": False,
+        "gt_queries": gt_q,
         "build_s": round(build_t, 2),
         "build_vs_baseline": round(20828.0 / build_t, 2),
         "queries": args.queries,
         "qps": round(args.queries / search_s, 1),
-        **result_extra,
+        "dtype": "int8",
+        "store": "packed",
+        "recall_vs_visit": curve,
+        "two_level": two,
     }
     print(json.dumps(result), flush=True)
 

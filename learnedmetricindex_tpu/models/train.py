@@ -457,6 +457,30 @@ class StackedNodeTrainer(Logger):
         return jnp.where(self.class_mask[:, None, :], probs, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("epochs", "lr"))
+def _full_batch_epochs(params, opt_state, x, y, class_mask, *, epochs, lr):
+    """One Adam step per epoch on the ENTIRE dataset (reference
+    ``train`` semantics, ``model.py:166-189``; 1-model stacked pytree)."""
+    opt = optax.adam(lr)
+
+    def loss_fn(p):
+        logits = jax.vmap(mlp_apply)(p, x[None])[0]  # (n, C)
+        logits = jnp.where(class_mask[0][None, :], logits, NEG_INF)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+        return jnp.mean(ce)
+
+    def step(carry, _):
+        p, s = carry
+        grads = jax.grad(loss_fn)(p)
+        updates, s = opt.update(grads, s, p)
+        return (optax.apply_updates(p, updates), s), None
+
+    (params, opt_state), _ = jax.lax.scan(
+        step, (params, opt_state), None, length=epochs
+    )
+    return params, opt_state
+
+
 class NeuralNetwork(Logger):
     """Single-model wrapper with the reference API surface
     (``search/li/model.py:130-241``): ``train``/``train_batch``,
@@ -522,7 +546,24 @@ class NeuralNetwork(Logger):
             lr=self._trainer.lr,
         )
 
-    train = train_batch
+    def train(self, X, y, epochs: int = 5) -> None:
+        """Full-batch training: ONE Adam step per epoch on the whole
+        dataset — the reference's (unused-in-repo) ``train`` semantics
+        (``model.py:166-189``), not an alias of :meth:`train_batch`."""
+        x = jnp.asarray(np.asarray(X, np.float32))
+        yv = jnp.asarray(np.asarray(y, np.int32))
+        (
+            self._trainer.params,
+            self._trainer.opt_state,
+        ) = _full_batch_epochs(
+            self._trainer.params,
+            self._trainer.opt_state,
+            x,
+            yv,
+            self._trainer.class_mask,
+            epochs=epochs,
+            lr=self._trainer.lr,
+        )
 
     def predict(self, X) -> np.ndarray:
         """Argmax class per row (cf. ``model.py:213-224``)."""

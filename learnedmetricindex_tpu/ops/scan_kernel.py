@@ -1,35 +1,40 @@
-"""Pallas fused bucket-scan kernel (phase 1 of the batched scan).
+"""Pallas fused bucket-scan kernel — phase 1 AND the cross-chunk merge.
 
 One grid step = one work item: a (qtile × d) query tile against one
-(chunk × d) bucket slab.  Everything the XLA path does across several
-fusions happens in a single VMEM-resident kernel:
+(chunk × d) bucket slab.  Everything the XLA path spreads across
+fusions and HBM intermediates happens in one VMEM-resident kernel
+(replacing the reference's per-bucket ``faiss.knn`` hot loop,
+``search/li/LearnedIndex.py:360-368``):
 
-    slab DMA (int8/bf16, Mosaic double-buffered via the BlockSpec
-    pipeline) → matmul (MXU) → per-column scale multiply (dequantization
-    applied to similarities, not slabs) → padding / validity masks →
-    exact k-pass top-k (min + argmin + mask on the VPU) → (qtile, k)
-    candidate write-out
+    slab DMA (int8/f32, Mosaic double-buffered via the BlockSpec
+    pipeline) → matmul (MXU) → per-column dequantization scale →
+    padding/validity masks → **running top-k across all chunks of the
+    (bucket, query-tile) pair** → one (qtile, k) candidate list per
+    pair
 
-The slab, id column, scale column, and query tile are selected per grid
-step through scalar-prefetched index arrays (``PrefetchScalarGridSpec``)
-— the canonical Pallas pattern for data-dependent block access (cf. the
-block-sparse / MoE kernels in the TPU Pallas guide).
+Two structural wins over the XLA phase-1 (``bucket_store._scan_items``):
 
-Candidate ids are materialized inside the kernel with a one-hot
-float32 reduction, which is exact for object ids < 2²⁴ (16.7M rows per
-shard); larger shards must use the XLA path or shard the store.
+* the (qtile × chunk) distance block never exists in HBM — it lives in
+  VMEM/registers between the MXU and the top-k;
+* work items of one (bucket, query-tile) pair are consecutive in the
+  plan, so the kernel carries the pair's running top-k in a VMEM
+  scratch accumulator and emits ONE candidate list per pair instead of
+  one per chunk — the phase-2 sort-merge input shrinks by the
+  chunks-per-bucket factor (~40× at 10M/120 buckets).
 
-The XLA fallback (:func:`bucket_store._scan_items`) remains the default
-off-TPU; tests run this kernel in interpreter mode on tiny shapes.
+The top-k is a ``fori_loop`` k-pass (min + argmin + mask per
+extraction) over the concatenation of the accumulator lanes and the
+fresh distance block; extractions write the accumulator through static
+lane masks.  This keeps Mosaic's compile time bounded (the round-1
+unrolled formulation did not terminate at chunk=2048) and every write
+lane-aligned.
 
-STATUS: experimental.  Compiles and validates against the XLA path for
-chunk ≤ ~512; at the flagship shapes (chunk=2048, d=768, k=12) the
-Mosaic compile of the unrolled k-pass loop does not terminate in
-reasonable time in this environment (a ``fori_loop`` formulation fails
-on dynamic lane-dim output indexing: "index in dimension 2 must be a
-multiple of 128").  The XLA phase-1 path is the production default; it
-reaches the same fused structure through ``dynamic_slice`` + einsum +
-the k-pass top-k and is within ~2× of the HBM roofline.
+Candidate ids ride through the loop as exact float32 (one-hot
+reductions), so object ids must stay below 2²⁴ (16.7M rows per store —
+shard the store past that; checked by the caller).
+
+The XLA fallback remains the default off-TPU and for stores whose
+shapes the kernel does not cover (d % 128 != 0, virtual stores).
 """
 
 from __future__ import annotations
@@ -47,122 +52,274 @@ MAX_PALLAS_ID = 1 << 24  # one-hot f32 id reduction exactness limit
 
 def _kernel(
     # scalar prefetch
+    item_pair_ref,  # (W,) int32: output pair row per item
     item_chunk_ref,  # (W,) int32: chunk index per item
     item_qtile_ref,  # (W,) int32: query-tile index per item
+    item_first_ref,  # (W,) int32: 1 = first chunk of its pair
     item_valid_ref,  # (W,) int32: 1 = live item
     # blocks
     qv_ref,  # (qtile, d) f32
     qidx_ref,  # (n_tiles, qtile) int32 — FULL array in VMEM
     slab_ref,  # (chunk, d) store dtype
-    ids_ref,  # (chunk, 1) int32
-    scales_ref,  # (chunk, 1) f32 (all-ones when unscaled)
-    # outputs
-    out_d_ref,  # (1, qtile, k)
-    out_i_ref,  # (1, qtile, k)
+    scales_ref,  # (chunk,) f32 (0.0 marks padding slots)
+    # outputs (revisited across the pair's chunks; flushed on change)
+    out_d_ref,  # (1, qtile, kpad) f32
+    out_i_ref,  # (1, qtile, kpad) int32
+    # scratch (acc_* persist across the pair's chunks; ext_* per item)
+    acc_d_ref,  # (kpad, qtile) f32 — running top-k distances
+    acc_i_ref,  # (kpad, qtile) f32 — running top-k slot ids (exact f32)
+    ext_d_ref,  # (kpad + chunk, qtile) f32 — extraction workspace
+    old_i_ref,  # (kpad, qtile) f32 — this item's incoming acc ids
     *,
     k: int,
+    kpad: int,
+    compute_dtype,
 ):
     i = pl.program_id(0)
-    qv = qv_ref[:]  # (qtile, d) f32
-    cd = slab_ref[:].astype(jnp.float32)  # (chunk, d)
+
+    @pl.when(item_first_ref[i] == 1)
+    def _():
+        acc_d_ref[:] = jnp.full(acc_d_ref.shape, jnp.inf, jnp.float32)
+        acc_i_ref[:] = jnp.zeros(acc_i_ref.shape, jnp.float32)
+
+    # TRANSPOSED layout throughout: chunk rows on sublanes, queries on
+    # lanes.  Lane-dimension min/argmin over a 2k-wide matrix makes
+    # Mosaic's register allocator spill ~130 MB; the same reductions
+    # over the sublane dimension are native (measured: 0.7 s vs OOM).
+    qv = qv_ref[:].astype(compute_dtype)  # (qtile, d)
+    cd = slab_ref[:].astype(compute_dtype)  # (chunk, d)
     sims = jax.lax.dot_general(
-        qv,
         cd,
+        qv,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (qtile, chunk)
-    sims = sims * scales_ref[:, 0][None, :]
+    )  # (chunk, qtile)
+    chunk = sims.shape[0]
+    qtile = sims.shape[1]
+    # scales arrive as a 1-D block — 1-D HBM arrays keep the compact
+    # T(1024) layout (a (n_slots, 1) column array would be tile-padded
+    # 128×: 4.9 GB at 10M slots)
+    scales = scales_ref[:].reshape(chunk, 1)
+    sims = sims * scales
     dists = 1.0 - sims
 
-    ids = ids_ref[:, 0]  # (chunk,)
     qi = qidx_ref[item_qtile_ref[i], :]  # (qtile,)
-    # Mosaic only supports minor-dim insertion for 32-bit types, so the
-    # per-row mask goes through int32 rather than a bool reshape.
-    dists = jnp.where((ids == 0)[None, :], jnp.inf, dists)
-    qbad = (qi < 0).astype(jnp.int32)[:, None]  # (qtile, 1) int32
+    dists = jnp.where(scales == 0.0, jnp.inf, dists)  # padding slots
+    qbad = (qi < 0).astype(jnp.int32)[None, :]  # (1, qtile)
     dists = jnp.where(qbad > 0, jnp.inf, dists)
     dists = jnp.where(item_valid_ref[i] == 0, jnp.inf, dists)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, dists.shape, dimension=1)
-    ids_f = ids.astype(jnp.float32)[None, :]  # exact for ids < 2^24
+    # extraction workspace: accumulator rows ++ fresh distances.  All
+    # loop state lives in VMEM scratch mutated in place — array carries
+    # through fori_loop spill the register allocator at these shapes.
+    # Candidate identity is POSITIONAL: an extracted row r < kpad is the
+    # accumulator entry r (its slot id is read from acc_i), and a row
+    # r ≥ kpad is slot ``chunk_base + (r - kpad)`` — no per-row id
+    # matrix is streamed, broadcast, or swept at all.
+    ext_d_ref[:kpad, :] = acc_d_ref[:]
+    ext_d_ref[kpad:, :] = dists
+    # snapshot incoming accumulator ids: the loop overwrites acc_i lane
+    # by lane while later extractions may still select a prefix row
+    old_i_ref[:] = acc_i_ref[:]
+    row = jax.lax.broadcasted_iota(
+        jnp.int32, (kpad + chunk, qtile), dimension=0
+    )
+    put_row = jax.lax.broadcasted_iota(jnp.int32, (kpad, qtile), dimension=0)
+    slot0 = (item_chunk_ref[i] * chunk - kpad).astype(jnp.float32)
 
-    # k-pass top-k, statically unrolled (Mosaic requires static lane
-    # indices for the (qtile, k) output writes)
-    d = dists
-    out_d_cols = []
-    out_i_cols = []
-    for j in range(k):
-        m = jnp.min(d, axis=1)  # (qtile,)
-        am = jnp.argmin(d, axis=1).astype(jnp.int32)  # (qtile,)
-        sel = col == am[:, None]
-        idsel = jnp.sum(jnp.where(sel, ids_f, 0.0), axis=1).astype(jnp.int32)
-        out_d_cols.append(m)
-        out_i_cols.append(jnp.where(jnp.isinf(m), 0, idsel))
-        if j < k - 1:
-            d = jnp.where(sel, jnp.inf, d)
-    out_d_ref[0] = jnp.stack(out_d_cols, axis=1)
-    out_i_ref[0] = jnp.stack(out_i_cols, axis=1)
+    def extract(j, _):
+        d = ext_d_ref[:]
+        m = jnp.min(d, axis=0)  # (qtile,)
+        am = jnp.argmin(d, axis=0).astype(jnp.int32)
+        sel = row == am[None, :]
+        # slot of the winner: positional for chunk rows, one-hot read
+        # of the (kpad, qtile) accumulator for prefix rows (cheap)
+        sel_acc = put_row == am[None, :]
+        idv_acc = jnp.sum(jnp.where(sel_acc, old_i_ref[:], 0.0), axis=0)
+        idv = jnp.where(
+            am < kpad, idv_acc, slot0 + am.astype(jnp.float32)
+        )  # exact for slots < 2^24
+        idv = jnp.where(jnp.isinf(m), -1.0, idv)  # -1 = no candidate
+        ext_d_ref[:] = jnp.where(sel, jnp.inf, d)
+        put = put_row == j
+        acc_d_ref[:] = jnp.where(put, m[None, :], acc_d_ref[:])
+        acc_i_ref[:] = jnp.where(put, idv[None, :], acc_i_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, k, extract, 0)
+
+    out_d_ref[0] = acc_d_ref[:].T
+    out_i_ref[0] = acc_i_ref[:].T.astype(jnp.int32)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "qtile", "chunk", "interpret"),
+    static_argnames=("k", "qtile", "chunk", "n_pairs", "compute",
+                     "interpret"),
 )
-def pallas_scan_items(
+def pallas_scan_pairs(
     work_queries: jnp.ndarray,  # (QP, d) f32, QP multiple of qtile
     qidx2d: jnp.ndarray,  # (QP // qtile, qtile) int32
+    item_pair: jnp.ndarray,  # (W,) int32: output row (n_pairs = dummy)
     item_chunk: jnp.ndarray,  # (W,) int32
-    item_qtile: jnp.ndarray,  # (W,) int32 (q_start // qtile)
+    item_qtile: jnp.ndarray,  # (W,) int32
+    item_first: jnp.ndarray,  # (W,) int32
     item_valid: jnp.ndarray,  # (W,) int32
     chunk_data: jnp.ndarray,  # (n_slots, d) flat packed store
-    chunk_ids2d: jnp.ndarray,  # (n_slots, 1) int32
-    chunk_scales2d: jnp.ndarray,  # (n_slots, 1) f32
+    chunk_scales_flat: jnp.ndarray,  # (n_slots,) f32, 0.0 = pad slot
     *,
     k: int,
     qtile: int,
     chunk: int,
+    n_pairs: int,
+    compute: str = "bf16",
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused phase 1: one (qtile, k) candidate list per (bucket, tile)
+    pair, already merged across the bucket's chunks.
+
+    Returns ``(cand_d (n_pairs+1, qtile, k) f32, cand_slot (n_pairs+1,
+    qtile, k) int32)`` — SLOT indices (-1 = none), to be mapped to
+    object ids by the caller; the last row is the dummy pair that
+    absorbs padding items.
+    """
     W = item_chunk.shape[0]
     d = work_queries.shape[1]
+    kpad = max(16, -(-k // 8) * 8)  # sublane-aligned accumulator rows
+    compute_dtype = jnp.bfloat16 if compute == "bf16" else jnp.float32
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(W,),
         in_specs=[
-            pl.BlockSpec((qtile, d), lambda i, ic, iq, iv: (iq[i], 0)),
+            pl.BlockSpec((qtile, d), lambda i, ip, ic, iq, if_, iv: (iq[i], 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full qidx2d
-            pl.BlockSpec((chunk, d), lambda i, ic, iq, iv: (ic[i], 0)),
-            pl.BlockSpec((chunk, 1), lambda i, ic, iq, iv: (ic[i], 0)),
-            pl.BlockSpec((chunk, 1), lambda i, ic, iq, iv: (ic[i], 0)),
+            pl.BlockSpec((chunk, d), lambda i, ip, ic, iq, if_, iv: (ic[i], 0)),
+            pl.BlockSpec((chunk,), lambda i, ip, ic, iq, if_, iv: (ic[i],)),
         ],
         out_specs=[
-            pl.BlockSpec((1, qtile, k), lambda i, ic, iq, iv: (i, 0, 0)),
-            pl.BlockSpec((1, qtile, k), lambda i, ic, iq, iv: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, qtile, kpad), lambda i, ip, ic, iq, if_, iv: (ip[i], 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, qtile, kpad), lambda i, ip, ic, iq, if_, iv: (ip[i], 0, 0)
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((kpad, qtile), jnp.float32),
+            pltpu.VMEM((kpad, qtile), jnp.float32),
+            pltpu.VMEM((kpad + chunk, qtile), jnp.float32),
+            pltpu.VMEM((kpad, qtile), jnp.float32),
         ],
     )
 
     out_shapes = [
-        jax.ShapeDtypeStruct((W, qtile, k), jnp.float32),
-        jax.ShapeDtypeStruct((W, qtile, k), jnp.int32),
+        jax.ShapeDtypeStruct((n_pairs + 1, qtile, kpad), jnp.float32),
+        jax.ShapeDtypeStruct((n_pairs + 1, qtile, kpad), jnp.int32),
     ]
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=128 * 1024 * 1024,
         )
     cand_d, cand_i = pl.pallas_call(
-        functools.partial(_kernel, k=k),
+        functools.partial(
+            _kernel, k=k, kpad=kpad, compute_dtype=compute_dtype
+        ),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
         **kwargs,
-    )(item_chunk, item_qtile, item_valid, work_queries, qidx2d,
-      chunk_data, chunk_ids2d, chunk_scales2d)
-    # per-candidate query ids (row r of item w → qidx2d[item_qtile[w], r])
-    cand_q = qidx2d[item_qtile].reshape(W * qtile)
+    )(item_pair, item_chunk, item_qtile, item_first, item_valid,
+      work_queries, qidx2d, chunk_data, chunk_scales_flat)
+    return cand_d[:, :, :k], cand_i[:, :, :k]
+
+
+def scan_pairs_pallas(
+    store,
+    plan,
+    work_queries,  # (QP_padded, d) f32 device
+    qidx,  # (QP_padded,) int32 device
+    *,
+    k: int,
+    qtile: int,
+    compute: str = "bf16",
+    interpret: bool = False,
+):
+    """Host-side wrapper: build the per-item prefetch arrays from a
+    :class:`~learnedmetricindex_tpu.index.bucket_store.ScanPlan` (whose
+    work list is (bucket, tile)-major, so each pair's chunks are
+    consecutive) and run the fused kernel.
+
+    Returns ``(cand_d (R, k), cand_i (R, k), cand_q (R,))`` with
+    ``R = (n_pairs + 1) * qtile`` rows, ready for
+    ``bucket_store._merge_candidates``.
+    """
+    import numpy as np
+
+    W = len(plan.item_chunk)
+    QP = work_queries.shape[0]
+    n_pairs = QP // qtile
+    assert QP % qtile == 0
+
+    item_pair = (plan.item_q_start // qtile).astype(np.int32)
+    item_chunk = plan.item_chunk.astype(np.int32)
+    item_qtile = item_pair.copy()
+    first = np.ones(W, np.int32)
+    if W > 1:
+        first[1:] = (item_pair[1:] != item_pair[:-1]).astype(np.int32)
+    valid = np.ones(W, np.int32)
+
+    if W == 0:
+        item_pair = np.array([n_pairs], np.int32)
+        item_chunk = np.zeros(1, np.int32)
+        item_qtile = np.zeros(1, np.int32)
+        first = np.ones(1, np.int32)
+        valid = np.zeros(1, np.int32)
+
+    # A pair whose bucket has zero chunks gets no grid step, so its
+    # output rows are never written (uninitialized memory) — mask those
+    # rows out of the merge, along with the dummy pair row n_pairs.
+    pair_written = np.zeros(n_pairs + 1, bool)
+    if W:
+        pair_written[item_pair] = True
+    pair_written[n_pairs] = False
+
+    if store.chunk_scales is not None:
+        scales_flat = store.chunk_scales.reshape(-1)
+    else:
+        # unscaled store: 1.0 on valid slots, 0.0 marks padding
+        scales_flat = (store.chunk_ids.reshape(-1) > 0).astype(jnp.float32)
+    cand_d, cand_slot = pallas_scan_pairs(
+        work_queries,
+        qidx.reshape(n_pairs, qtile),
+        jnp.asarray(item_pair),
+        jnp.asarray(item_chunk),
+        jnp.asarray(item_qtile),
+        jnp.asarray(first),
+        jnp.asarray(valid),
+        store.chunk_data,
+        scales_flat,
+        k=k,
+        qtile=qtile,
+        chunk=store.chunk,
+        n_pairs=n_pairs,
+        compute=compute,
+        interpret=interpret,
+    )
+    # resolve slot indices → object ids with one flat gather
+    ids_flat = store.chunk_ids.reshape(-1)
+    cand_i = jnp.where(
+        cand_slot >= 0, ids_flat[jnp.maximum(cand_slot, 0)], 0
+    )
+    R = (n_pairs + 1) * qtile
+    cand_q = jnp.concatenate([qidx, jnp.full((qtile,), -1, jnp.int32)])
+    row_ok = jnp.repeat(
+        jnp.asarray(pair_written), qtile, total_repeat_length=R
+    )
+    cand_q = jnp.where(row_ok, cand_q, -1)
     return (
-        cand_d.reshape(W * qtile, k),
-        cand_i.reshape(W * qtile, k),
+        cand_d.reshape(R, k),
+        cand_i.reshape(R, k),
         cand_q,
     )

@@ -156,3 +156,18 @@ def test_class_mask_excludes_untrained_classes():
     assert set(np.unique(preds[valid])) <= {0, 1}
     probs = np.asarray(trainer.predict_proba_all(data[:5]))
     assert probs[:, :, 2:].max() < 1e-6  # masked classes get ~0 probability
+
+
+def test_neural_network_full_batch_train():
+    # reference `train` semantics: one Adam step per epoch on the whole
+    # dataset — distinct from train_batch (minibatch) and it must learn
+    from learnedmetricindex_tpu.models.train import NeuralNetwork
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(512, 8)).astype(np.float32)
+    y = (X[:, 0] > 0).astype(np.int32)
+    nn = NeuralNetwork(8, 2, lr=0.05, model_type="MLP-8", seed=0)
+    before = (nn.predict(X) == y).mean()
+    nn.train(X, y, epochs=60)
+    after = (nn.predict(X) == y).mean()
+    assert after > max(before, 0.9)

@@ -1,92 +1,107 @@
-"""Pallas fused scan kernel vs the XLA phase-1 path (interpret mode)."""
+"""Pallas fused scan kernel vs the XLA path (interpret mode on CPU)."""
 
 import numpy as np
 import pytest
 
-import jax
-import jax.numpy as jnp
-
 from learnedmetricindex_tpu.data import synthetic_blobs
 from learnedmetricindex_tpu.index.bucket_store import (
     BucketStore,
-    _gather_work_queries,
-    _scan_items,
-    build_scan_plan,
+    scan_buckets,
 )
-from learnedmetricindex_tpu.ops.scan_kernel import pallas_scan_items
+from learnedmetricindex_tpu.ops.knn import exact_knn, recall
 
 
-def test_pallas_kernel_matches_xla_phase1():
-    chunk, qtile, k = 64, 16, 5
-    data, queries = synthetic_blobs(600, 16, 40, seed=3)
-    rng = np.random.default_rng(0)
-    bucket_ids = rng.integers(0, 6, size=600)
-    store = BucketStore.build(data, bucket_ids, 6, chunk=chunk)
+def _store(n=900, d=16, n_buckets=6, chunk=64, seed=3):
+    data, queries = synthetic_blobs(n, d, 40, seed=seed)
+    rng = np.random.default_rng(seed)
+    bucket_ids = rng.integers(0, n_buckets, size=n)
+    store = BucketStore.build(data, bucket_ids, n_buckets, chunk=chunk)
+    return data, queries, bucket_ids, store
+
+
+def _compare(store, queries, order, k, **kw):
+    pd, pi = scan_buckets(store, queries, order, k=k, engine="pallas", **kw)
+    xd, xi = scan_buckets(store, queries, order, k=k, engine="xla", **kw)
+    np.testing.assert_allclose(pd, xd, rtol=1e-4, atol=1e-5)
+    # id mismatches only possible on exact distance ties
+    mism = pi != xi
+    if mism.any():
+        np.testing.assert_allclose(pd[mism], xd[mism], rtol=1e-6, atol=1e-7)
+    return pd, pi
+
+
+def test_pallas_full_visit_equals_oracle():
+    # multi-chunk buckets exercise the cross-chunk accumulator
+    data, queries, bucket_ids, store = _store(n=900, chunk=64)
+    order = np.tile(np.arange(6, dtype=np.int64), (len(queries), 1))
+    pd, pi = _compare(store, queries, order, k=10, qtile=16)
+    ref_d, ref_i = exact_knn(data, queries, k=10)
+    np.testing.assert_allclose(pd, ref_d, rtol=1e-4, atol=1e-5)
+    assert recall(pi, ref_i, 10) == 1.0
+
+
+def test_pallas_partial_and_per_query_visits():
+    data, queries, bucket_ids, store = _store()
+    rng = np.random.default_rng(1)
     order = np.stack(
-        [rng.choice(6, size=3, replace=False) for _ in range(40)]
+        [rng.choice(6, size=2, replace=False) for _ in range(len(queries))]
     ).astype(np.int64)
-    plan = build_scan_plan(store, order, qtile=qtile)
+    _compare(store, queries, order, k=5, qtile=16)
 
-    W = len(plan.item_chunk)
-    QP = len(plan.qidx)
-    assert QP % qtile == 0
-    qx = jnp.asarray(plan.qidx)
-    wq = _gather_work_queries(jnp.asarray(queries), qx)
-    ic = jnp.asarray(plan.item_chunk)
-    iq_t = jnp.asarray((plan.item_q_start // qtile).astype(np.int32))
-    iv = jnp.asarray(np.ones(W, np.int32))
-    qidx2d = qx.reshape(QP // qtile, qtile)
-    ids2d = store.chunk_ids.reshape(-1, 1)
-    scales2d = jnp.ones((store.n_chunks * chunk, 1), jnp.float32)
 
-    pd, pi, pq = pallas_scan_items(
-        wq, qidx2d, ic, iq_t, iv, store.chunk_data, ids2d, scales2d,
-        k=k, qtile=qtile, chunk=chunk, interpret=True,
+def test_pallas_invalid_slots_and_empty_buckets():
+    data, queries = synthetic_blobs(200, 8, 12, seed=2)
+    bucket_ids = np.zeros(200, dtype=np.int64)  # buckets 1..3 empty
+    store = BucketStore.build(data, bucket_ids, 4, chunk=32)
+    order = np.full((12, 3), -1, dtype=np.int64)
+    order[0] = [2, 0, 1]  # visits an empty bucket + the full one
+    order[1] = [3, 3, -1]  # only empty buckets
+    pd, pi = _compare(store, queries, order, k=4, qtile=8)
+    assert np.isfinite(pd[0]).all()
+    assert np.isinf(pd[1:]).all()
+    assert (pi[1:] == 0).all()
+
+
+def test_pallas_int8_scales_and_rerank():
+    from learnedmetricindex_tpu.ops.quantize import quantize_rows
+
+    data, queries, bucket_ids, _ = _store(n=600)
+    q_data, row_scales = quantize_rows(data)
+    store = BucketStore.build(
+        np.asarray(q_data, np.float32), bucket_ids, 6, chunk=64, dtype="int8"
+    )
+    sc = np.zeros(store.chunk_ids.size, np.float32)
+    ids = np.asarray(store.chunk_ids).reshape(-1)
+    sc[ids > 0] = np.asarray(row_scales)[ids[ids > 0] - 1]
+    import jax.numpy as jnp
+
+    store = store._replace(chunk_scales=jnp.asarray(sc))
+    order = np.tile(np.arange(6, dtype=np.int64), (len(queries), 1))
+    pd, pi = _compare(store, queries, order, k=6, qtile=16)
+    deq = np.asarray(q_data, np.float32) * np.asarray(row_scales)[:, None]
+    ref_d, ref_i = exact_knn(deq, queries, k=6)
+    np.testing.assert_allclose(pd, ref_d, rtol=1e-4, atol=1e-5)
+    # rerank path on top of the pallas bulk scan
+    rd, ri = scan_buckets(
+        store, queries, order, k=6, engine="pallas", qtile=16,
+        rerank=True, rerank_margin=3,
+    )
+    assert recall(ri, ref_i, 6) == 1.0
+
+
+def test_pallas_usability_gate():
+    from learnedmetricindex_tpu.index.bucket_store import (
+        _pallas_engine_usable,
     )
 
-    xd, xi, xq = _scan_items(
-        wq, qx, iq_t * qtile, ic, jnp.asarray(np.ones(W, bool)),
-        store.chunk_data, store.chunk_ids, None,
-        k=k, qtile=qtile, items_per_step=1, precision="highest",
-        approx_recall=None,
-    )
+    data, queries, bucket_ids, store = _store(d=16, chunk=64)
+    # d=16 is not lane-aligned: the TPU gate rejects it; interpret mode
+    # (off-TPU) accepts any packed shape
+    assert not _pallas_engine_usable(store, 128, for_tpu=True)
+    assert _pallas_engine_usable(store, 128, for_tpu=False)
+    import jax.numpy as jnp
 
-    pd_n, xd_n = np.asarray(pd), np.asarray(xd)
-    both_inf = np.isinf(pd_n) & np.isinf(xd_n)
-    close = np.isclose(pd_n, xd_n, rtol=1e-3, atol=1e-4) | both_inf
-    assert close.mean() > 0.999
-    # ids compared on finite candidates only (on inf padding the kernel
-    # writes 0 while XLA's top_k leaves arbitrary ids; the merge filters
-    # inf either way)
-    finite = ~both_inf
-    assert (np.asarray(pi)[finite] == np.asarray(xi)[finite]).mean() > 0.99
-    np.testing.assert_array_equal(np.asarray(pq), np.asarray(xq))
-
-
-def test_pallas_kernel_invalid_items_and_padding():
-    chunk, qtile, k = 32, 8, 3
-    data, queries = synthetic_blobs(100, 8, 10, seed=1)
-    bucket_ids = np.zeros(100, dtype=np.int64)
-    store = BucketStore.build(data, bucket_ids, 1, chunk=chunk)
-    plan = build_scan_plan(
-        store, np.zeros((10, 1), dtype=np.int64), qtile=qtile
+    vstore = BucketStore.build_virtual(
+        jnp.asarray(data), bucket_ids, 6, chunk=64
     )
-    W = len(plan.item_chunk)
-    qx = jnp.asarray(plan.qidx)
-    wq = _gather_work_queries(jnp.asarray(queries), qx)
-    iv = np.ones(W, np.int32)
-    iv[-1] = 0  # kill the last item
-    pd, pi, pq = pallas_scan_items(
-        wq,
-        qx.reshape(-1, qtile),
-        jnp.asarray(plan.item_chunk),
-        jnp.asarray((plan.item_q_start // qtile).astype(np.int32)),
-        jnp.asarray(iv),
-        store.chunk_data,
-        store.chunk_ids.reshape(-1, 1),
-        jnp.ones((store.n_chunks * chunk, 1), jnp.float32),
-        k=k, qtile=qtile, chunk=chunk, interpret=True,
-    )
-    pd_n = np.asarray(pd).reshape(W, qtile, k)
-    assert np.isinf(pd_n[-1]).all()  # invalid item emits no candidates
-    assert (np.asarray(pi).reshape(W, qtile, k)[-1] == 0).all()
+    assert not _pallas_engine_usable(vstore, 128)
