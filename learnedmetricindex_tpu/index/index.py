@@ -374,13 +374,17 @@ class LearnedIndex(Logger):
         )
 
         if isinstance(store, ShardedStore):
-            # multi-chip path: per-device local scans + ICI top-k merge
+            # multi-chip path: per-device local scans + ICI top-k merge.
+            # Always full-precision: the sharded path has no rerank
+            # stage, so a bf16 bulk pass would leak ±2e-3 noise into
+            # the final ranking.
             dists, anns = sharded_search(
                 store,
                 np.asarray(q_search, dtype=np.float32),
                 order,
                 k=k,
                 qtile=min(qtile, 32),
+                precision="highest",
             )
             t_scan = time.perf_counter() - s_scan
             measured["search_within_buckets"] = t_scan
