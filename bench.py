@@ -365,7 +365,8 @@ def main():
                     args.rerank_margin, 1,
                 )
             except Exception as e:  # e.g. HBM OOM at large visit counts
-                log(f"  curve visit={v}: skipped ({type(e).__name__})")
+                log(f"  curve visit={v}: skipped ({type(e).__name__}: "
+                    f"{str(e)[:4000]})")
                 continue
             curve[str(v)] = {
                 "recall": round(recall(av[:gt_q], gt, 10), 4),
@@ -396,7 +397,8 @@ def main():
                     args.rerank_margin, 1,
                 )
             except Exception as e:
-                log(f"  2-level visit={v}: skipped ({type(e).__name__})")
+                log(f"  2-level visit={v}: skipped ({type(e).__name__}: "
+                    f"{str(e)[:4000]})")
                 continue
             rv = recall(av[:gt_q], gt, 10)
             two["visits"][str(v)] = {

@@ -733,20 +733,31 @@ def scan_buckets(
     use_pallas = engine == "pallas" or (
         engine == "auto" and jax.default_backend() == "tpu"
     )
+    ran_pallas = False
     if use_pallas and _pallas_engine_usable(store, qtile):
         from learnedmetricindex_tpu.ops.scan_kernel import scan_pairs_pallas
 
-        cand_d, cand_i, cand_q = scan_pairs_pallas(
-            store,
-            plan,
-            work_queries,
-            qidx_dev,
-            k=k_scan,
-            qtile=qtile,
-            compute="f32" if scan_precision == "highest" else "bf16",
-            interpret=jax.default_backend() != "tpu",
-        )
-        t0 = _dbg("phase1-pallas", t0, cand_d)
+        try:
+            cand_d, cand_i, cand_q = scan_pairs_pallas(
+                store,
+                plan,
+                work_queries,
+                qidx_dev,
+                k=k_scan,
+                qtile=qtile,
+                compute="f32" if scan_precision == "highest" else "bf16",
+                interpret=jax.default_backend() != "tpu",
+            )
+            ran_pallas = True
+            t0 = _dbg("phase1-pallas", t0, cand_d)
+        except Exception:
+            if engine == "pallas":
+                raise  # explicit request: surface the error
+            # auto mode: fall back to the XLA engine (e.g. a compiler
+            # failure at an extreme work-list size)
+            ran_pallas = False
+    if ran_pallas:
+        pass
     elif store.chunk_data is not None:
         cand_d, cand_i, cand_q = _scan_items(
             work_queries,

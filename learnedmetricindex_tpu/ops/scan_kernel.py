@@ -51,12 +51,13 @@ MAX_PALLAS_ID = 1 << 24  # one-hot f32 id reduction exactness limit
 
 
 def _kernel(
-    # scalar prefetch
-    item_pair_ref,  # (W,) int32: output pair row per item
+    # scalar prefetch (kept to TWO W-sized arrays + one scalar: these
+    # live in SMEM, and five W-sized arrays crash the compiler near
+    # W ≈ 60k — the query-tile index equals the pair index, `first`
+    # derives from the neighboring pair entry, validity from w_real)
+    item_pair_ref,  # (W,) int32: output pair row (== query-tile index)
     item_chunk_ref,  # (W,) int32: chunk index per item
-    item_qtile_ref,  # (W,) int32: query-tile index per item
-    item_first_ref,  # (W,) int32: 1 = first chunk of its pair
-    item_valid_ref,  # (W,) int32: 1 = live item
+    w_real_ref,  # (1,) int32: items beyond this are padding
     # blocks
     qv_ref,  # (qtile, d) f32
     qidx_ref,  # (n_tiles, qtile) int32 — FULL array in VMEM
@@ -76,8 +77,11 @@ def _kernel(
     compute_dtype,
 ):
     i = pl.program_id(0)
+    prev_pair = item_pair_ref[jnp.maximum(i - 1, 0)]
+    is_first = jnp.logical_or(i == 0, item_pair_ref[i] != prev_pair)
+    is_valid = i < w_real_ref[0]
 
-    @pl.when(item_first_ref[i] == 1)
+    @pl.when(is_first)
     def _():
         acc_d_ref[:] = jnp.full(acc_d_ref.shape, jnp.inf, jnp.float32)
         acc_i_ref[:] = jnp.zeros(acc_i_ref.shape, jnp.float32)
@@ -103,11 +107,12 @@ def _kernel(
     sims = sims * scales
     dists = 1.0 - sims
 
-    qi = qidx_ref[item_qtile_ref[i], :]  # (qtile,)
+    tile = jnp.minimum(item_pair_ref[i], qidx_ref.shape[0] - 1)
+    qi = qidx_ref[tile, :]  # (qtile,)
     dists = jnp.where(scales == 0.0, jnp.inf, dists)  # padding slots
     qbad = (qi < 0).astype(jnp.int32)[None, :]  # (1, qtile)
     dists = jnp.where(qbad > 0, jnp.inf, dists)
-    dists = jnp.where(item_valid_ref[i] == 0, jnp.inf, dists)
+    dists = jnp.where(jnp.logical_not(is_valid), jnp.inf, dists)
 
     # extraction workspace: accumulator rows ++ fresh distances.  All
     # loop state lives in VMEM scratch mutated in place — array carries
@@ -162,9 +167,7 @@ def pallas_scan_pairs(
     qidx2d: jnp.ndarray,  # (QP // qtile, qtile) int32
     item_pair: jnp.ndarray,  # (W,) int32: output row (n_pairs = dummy)
     item_chunk: jnp.ndarray,  # (W,) int32
-    item_qtile: jnp.ndarray,  # (W,) int32
-    item_first: jnp.ndarray,  # (W,) int32
-    item_valid: jnp.ndarray,  # (W,) int32
+    w_real: jnp.ndarray,  # (1,) int32: first padding item index
     chunk_data: jnp.ndarray,  # (n_slots, d) flat packed store
     chunk_scales_flat: jnp.ndarray,  # (n_slots,) f32, 0.0 = pad slot
     *,
@@ -188,21 +191,25 @@ def pallas_scan_pairs(
     kpad = max(16, -(-k // 8) * 8)  # sublane-aligned accumulator rows
     compute_dtype = jnp.bfloat16 if compute == "bf16" else jnp.float32
 
+    n_tiles = qidx2d.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=3,
         grid=(W,),
         in_specs=[
-            pl.BlockSpec((qtile, d), lambda i, ip, ic, iq, if_, iv: (iq[i], 0)),
+            pl.BlockSpec(
+                (qtile, d),
+                lambda i, ip, ic, wr: (jnp.minimum(ip[i], n_tiles - 1), 0),
+            ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full qidx2d
-            pl.BlockSpec((chunk, d), lambda i, ip, ic, iq, if_, iv: (ic[i], 0)),
-            pl.BlockSpec((chunk,), lambda i, ip, ic, iq, if_, iv: (ic[i],)),
+            pl.BlockSpec((chunk, d), lambda i, ip, ic, wr: (ic[i], 0)),
+            pl.BlockSpec((chunk,), lambda i, ip, ic, wr: (ic[i],)),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, qtile, kpad), lambda i, ip, ic, iq, if_, iv: (ip[i], 0, 0)
+                (1, qtile, kpad), lambda i, ip, ic, wr: (ip[i], 0, 0)
             ),
             pl.BlockSpec(
-                (1, qtile, kpad), lambda i, ip, ic, iq, if_, iv: (ip[i], 0, 0)
+                (1, qtile, kpad), lambda i, ip, ic, wr: (ip[i], 0, 0)
             ),
         ],
         scratch_shapes=[
@@ -230,7 +237,7 @@ def pallas_scan_pairs(
         out_shape=out_shapes,
         interpret=interpret,
         **kwargs,
-    )(item_pair, item_chunk, item_qtile, item_first, item_valid,
+    )(item_pair, item_chunk, w_real,
       work_queries, qidx2d, chunk_data, chunk_scales_flat)
     return cand_d[:, :, :k], cand_i[:, :, :k]
 
@@ -264,18 +271,9 @@ def scan_pairs_pallas(
 
     item_pair = (plan.item_q_start // qtile).astype(np.int32)
     item_chunk = plan.item_chunk.astype(np.int32)
-    item_qtile = item_pair.copy()
-    first = np.ones(W, np.int32)
-    if W > 1:
-        first[1:] = (item_pair[1:] != item_pair[:-1]).astype(np.int32)
-    valid = np.ones(W, np.int32)
-
     if W == 0:
         item_pair = np.array([n_pairs], np.int32)
         item_chunk = np.zeros(1, np.int32)
-        item_qtile = np.zeros(1, np.int32)
-        first = np.ones(1, np.int32)
-        valid = np.zeros(1, np.int32)
 
     # A pair whose bucket has zero chunks gets no grid step, so its
     # output rows are never written (uninitialized memory) — mask those
@@ -295,9 +293,7 @@ def scan_pairs_pallas(
         qidx.reshape(n_pairs, qtile),
         jnp.asarray(item_pair),
         jnp.asarray(item_chunk),
-        jnp.asarray(item_qtile),
-        jnp.asarray(first),
-        jnp.asarray(valid),
+        jnp.asarray(np.array([W], np.int32)),
         store.chunk_data,
         scales_flat,
         k=k,
