@@ -620,9 +620,9 @@ def _quantize(size: int, multiple: int) -> int:
 def _pallas_engine_usable(
     store: BucketStore, qtile: int, for_tpu: Optional[bool] = None
 ) -> bool:
-    """The fused Pallas kernel covers packed stores with ids below the
-    f32-exactness bound (2^24); Mosaic compilation additionally needs
-    lane-aligned shapes (interpret mode off-TPU handles any shape)."""
+    """The fused Pallas kernel covers packed stores with ids in int32
+    range; Mosaic compilation additionally needs lane-aligned shapes
+    (interpret mode off-TPU handles any shape)."""
     if store.chunk_data is None:
         return False
     n_rows = store.chunk_ids.size

@@ -22,16 +22,24 @@ Two structural wins over the XLA phase-1 (``bucket_store._scan_items``):
   one per chunk — the phase-2 sort-merge input shrinks by the
   chunks-per-bucket factor (~40× at 10M/120 buckets).
 
-The top-k is a ``fori_loop`` k-pass (min + argmin + mask per
-extraction) over the concatenation of the accumulator lanes and the
-fresh distance block; extractions write the accumulator through static
-lane masks.  This keeps Mosaic's compile time bounded (the round-1
-unrolled formulation did not terminate at chunk=2048) and every write
-lane-aligned.
+Selection is a **cursor k-pass**: extraction j+1 takes the minimum
+over elements strictly after extraction j's ``(value, row)`` pair in
+lexicographic order, so the workspace is never masked or written back
+between extractions (the round-1 formulation masked the winner with a
+full-workspace write per extraction and re-extracted accumulator
+entries through one-hot f32 reductions).  Ties break toward earlier
+rows, matching the reference's stable order.  Extraction 0 fuses with
+the distance materialization; insertion replaces the accumulator's
+current per-lane maximum (the accumulator is unsorted; the phase-2
+sort orders candidates).  A ``lax.while_loop`` gated on
+"did any lane insert" was measured SLOWER than this fixed
+``fori_loop`` (at k=12 over ~41-chunk buckets some lane inserts on
+almost every chunk, so the gate never skips and its loop mechanics
+cost ~2×) — keep the loop fixed-trip.
 
-Candidate ids ride through the loop as exact float32 (one-hot
-reductions), so object ids must stay below 2²⁴ (16.7M rows per store —
-shard the store past that; checked by the caller).
+Candidate ids ride as int32 end-to-end (slot = chunk_base + argmin
+row), so stores are bounded only by int32 — the round-1 f32 one-hot
+design capped stores at 2²⁴ rows.
 
 The XLA fallback remains the default off-TPU and for stores whose
 shapes the kernel does not cover (d % 128 != 0, virtual stores).
@@ -47,7 +55,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MAX_PALLAS_ID = 1 << 24  # one-hot f32 id reduction exactness limit
+# ids are int32 throughout the kernel; the practical bound is the int32
+# range (the round-1 kernel's f32 one-hot id reduction capped this at
+# 2^24 — see module docstring)
+MAX_PALLAS_ID = (1 << 31) - 1
 
 
 def _kernel(
@@ -66,11 +77,13 @@ def _kernel(
     # outputs (revisited across the pair's chunks; flushed on change)
     out_d_ref,  # (1, qtile, kpad) f32
     out_i_ref,  # (1, qtile, kpad) int32
-    # scratch (acc_* persist across the pair's chunks; ext_* per item)
-    acc_d_ref,  # (kpad, qtile) f32 — running top-k distances
-    acc_i_ref,  # (kpad, qtile) f32 — running top-k slot ids (exact f32)
-    ext_d_ref,  # (kpad + chunk, qtile) f32 — extraction workspace
-    old_i_ref,  # (kpad, qtile) f32 — this item's incoming acc ids
+    # scratch (acc_* persist across the pair's chunks; rest per item)
+    acc_d_ref,  # (kpad, qtile) f32 — running top-k distances (unsorted)
+    acc_i_ref,  # (kpad, qtile) i32 — running top-k slot ids (-1 = none)
+    d_ref,  # (chunk, qtile) f32 — this item's distances (read-only
+    #         after materialization: extractions never mask it)
+    mprev_ref,  # (8, qtile) f32 — extraction cursor: last value
+    rprev_ref,  # (8, qtile) i32 — extraction cursor: last row
     *,
     k: int,
     kpad: int,
@@ -84,7 +97,7 @@ def _kernel(
     @pl.when(is_first)
     def _():
         acc_d_ref[:] = jnp.full(acc_d_ref.shape, jnp.inf, jnp.float32)
-        acc_i_ref[:] = jnp.zeros(acc_i_ref.shape, jnp.float32)
+        acc_i_ref[:] = jnp.full(acc_i_ref.shape, -1, jnp.int32)
 
     # TRANSPOSED layout throughout: chunk rows on sublanes, queries on
     # lanes.  Lane-dimension min/argmin over a 2k-wide matrix makes
@@ -97,6 +110,14 @@ def _kernel(
         qv,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # f32 compute means FULL f32 (multi-pass MXU), matching the XLA
+        # engine's Precision.HIGHEST — the default would still run one
+        # bf16 pass even on f32 inputs
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
     )  # (chunk, qtile)
     chunk = sims.shape[0]
     qtile = sims.shape[1]
@@ -114,47 +135,54 @@ def _kernel(
     dists = jnp.where(qbad > 0, jnp.inf, dists)
     dists = jnp.where(jnp.logical_not(is_valid), jnp.inf, dists)
 
-    # extraction workspace: accumulator rows ++ fresh distances.  All
-    # loop state lives in VMEM scratch mutated in place — array carries
-    # through fori_loop spill the register allocator at these shapes.
-    # Candidate identity is POSITIONAL: an extracted row r < kpad is the
-    # accumulator entry r (its slot id is read from acc_i), and a row
-    # r ≥ kpad is slot ``chunk_base + (r - kpad)`` — no per-row id
-    # matrix is streamed, broadcast, or swept at all.
-    ext_d_ref[:kpad, :] = acc_d_ref[:]
-    ext_d_ref[kpad:, :] = dists
-    # snapshot incoming accumulator ids: the loop overwrites acc_i lane
-    # by lane while later extractions may still select a prefix row
-    old_i_ref[:] = acc_i_ref[:]
-    row = jax.lax.broadcasted_iota(
-        jnp.int32, (kpad + chunk, qtile), dimension=0
-    )
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, qtile), dimension=0)
     put_row = jax.lax.broadcasted_iota(jnp.int32, (kpad, qtile), dimension=0)
-    slot0 = (item_chunk_ref[i] * chunk - kpad).astype(jnp.float32)
+    slot0 = item_chunk_ref[i] * chunk  # first slot id of this chunk
 
-    def extract(j, _):
-        d = ext_d_ref[:]
-        m = jnp.min(d, axis=0)  # (qtile,)
-        am = jnp.argmin(d, axis=0).astype(jnp.int32)
-        sel = row == am[None, :]
-        # slot of the winner: positional for chunk rows, one-hot read
-        # of the (kpad, qtile) accumulator for prefix rows (cheap)
-        sel_acc = put_row == am[None, :]
-        idv_acc = jnp.sum(jnp.where(sel_acc, old_i_ref[:], 0.0), axis=0)
-        idv = jnp.where(
-            am < kpad, idv_acc, slot0 + am.astype(jnp.float32)
-        )  # exact for slots < 2^24
-        idv = jnp.where(jnp.isinf(m), -1.0, idv)  # -1 = no candidate
-        ext_d_ref[:] = jnp.where(sel, jnp.inf, d)
-        put = put_row == j
+    def insert(m, am):
+        """Insert each lane's winner (value m, chunk row am) into the
+        accumulator if it beats the lane's current k-th best; returns
+        the per-lane win mask.  Ties keep the incumbent (reference
+        stable-merge semantics: the earlier candidate wins)."""
+        acck = jnp.where(put_row < k, acc_d_ref[:], -jnp.inf)
+        tau = jnp.max(acck, axis=0)  # (qtile,) current k-th best
+        win = m < tau
+        amax = jnp.argmax(acck, axis=0).astype(jnp.int32)
+        put = jnp.logical_and(put_row == amax[None, :], win[None, :])
         acc_d_ref[:] = jnp.where(put, m[None, :], acc_d_ref[:])
-        acc_i_ref[:] = jnp.where(put, idv[None, :], acc_i_ref[:])
+        acc_i_ref[:] = jnp.where(put, (slot0 + am)[None, :], acc_i_ref[:])
+        return win
+
+    # extraction 0 comes free with the materialization pass
+    m0 = jnp.min(dists, axis=0)  # (qtile,)
+    am0 = jnp.argmin(dists, axis=0).astype(jnp.int32)
+    insert(m0, am0)
+    d_ref[:] = dists
+    mprev_ref[:] = jnp.broadcast_to(m0[None, :], (8, qtile))
+    rprev_ref[:] = jnp.broadcast_to(am0[None, :], (8, qtile))
+
+    def body(j, _):
+        d = d_ref[:]
+        mp = mprev_ref[0, :]  # (qtile,)
+        rp = rprev_ref[0, :]
+        # next-eligible = strictly after (mp, rp) lexicographically:
+        # no workspace masking or write-backs, stable tie order
+        elig = jnp.logical_or(
+            d > mp[None, :],
+            jnp.logical_and(d == mp[None, :], row > rp[None, :]),
+        )
+        dv = jnp.where(elig, d, jnp.inf)
+        m = jnp.min(dv, axis=0)
+        am = jnp.argmin(dv, axis=0).astype(jnp.int32)
+        insert(m, am)
+        mprev_ref[:] = jnp.broadcast_to(m[None, :], (8, qtile))
+        rprev_ref[:] = jnp.broadcast_to(am[None, :], (8, qtile))
         return 0
 
-    jax.lax.fori_loop(0, k, extract, 0)
+    jax.lax.fori_loop(1, k, body, 0)
 
     out_d_ref[0] = acc_d_ref[:].T
-    out_i_ref[0] = acc_i_ref[:].T.astype(jnp.int32)
+    out_i_ref[0] = acc_i_ref[:].T
 
 
 @functools.partial(
@@ -184,7 +212,8 @@ def pallas_scan_pairs(
     Returns ``(cand_d (n_pairs+1, qtile, k) f32, cand_slot (n_pairs+1,
     qtile, k) int32)`` — SLOT indices (-1 = none), to be mapped to
     object ids by the caller; the last row is the dummy pair that
-    absorbs padding items.
+    absorbs padding items.  Candidate lists are exact top-k per pair
+    but UNSORTED (phase 2's stable sort orders them).
     """
     W = item_chunk.shape[0]
     d = work_queries.shape[1]
@@ -214,9 +243,10 @@ def pallas_scan_pairs(
         ],
         scratch_shapes=[
             pltpu.VMEM((kpad, qtile), jnp.float32),
-            pltpu.VMEM((kpad, qtile), jnp.float32),
-            pltpu.VMEM((kpad + chunk, qtile), jnp.float32),
-            pltpu.VMEM((kpad, qtile), jnp.float32),
+            pltpu.VMEM((kpad, qtile), jnp.int32),
+            pltpu.VMEM((chunk, qtile), jnp.float32),
+            pltpu.VMEM((8, qtile), jnp.float32),
+            pltpu.VMEM((8, qtile), jnp.int32),
         ],
     )
 
