@@ -199,6 +199,184 @@ def shard_store(
     )
 
 
+def _local_topk_sort(cand_d, cand_i, cand_q, Q: int, k: int):
+    """Per-query top-k of a shard's flat candidate rows via one stable
+    multi-key sort (same shape as ``bucket_store._merge_candidates``,
+    inlined here so it runs inside ``shard_map``)."""
+    R = cand_q.shape[0]
+    q_rep = jnp.repeat(
+        jnp.where(cand_q < 0, Q, cand_q).astype(jnp.int32),
+        k,
+        total_repeat_length=R * k,
+    )
+    d_flat = cand_d.reshape(R * k)
+    i_flat = cand_i.reshape(R * k)
+    q_s, d_s, i_s = jax.lax.sort((q_rep, d_flat, i_flat), num_keys=2)
+    starts = jnp.searchsorted(q_s, jnp.arange(Q, dtype=jnp.int32))
+    idx = jnp.minimum(starts[:, None] + jnp.arange(k)[None, :], R * k - 1)
+    out_d = jnp.where(
+        q_s[idx] == jnp.arange(Q, dtype=jnp.int32)[:, None], d_s[idx], jnp.inf
+    )
+    out_i = jnp.where(jnp.isinf(out_d), 0, i_s[idx])
+    return out_d, out_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "k", "qtile", "chunk", "use_pallas", "precision",
+        "interpret",
+    ),
+)
+def _run_sharded(
+    queries,
+    qidx,
+    iq,
+    ic,
+    iv,
+    ipair,
+    wr,
+    pwr,
+    cdata,
+    cids,
+    cscales,
+    *,
+    mesh,
+    k,
+    qtile,
+    chunk,
+    use_pallas,
+    precision,
+    interpret,
+):
+    """One jitted dispatch for the whole sharded search (module-level so
+    repeated searches at the same shapes hit the jit cache — a closure
+    re-jitted per call would recompile every search)."""
+    axis = mesh.axis_names
+    Q = queries.shape[0]
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def local(queries, qidx, iq, ic, iv, ipair, wr, pwr, cdata, cids,
+              cscales):
+        # leading device axis of size 1 inside the shard
+        qidx, iq, ic, iv = qidx[0], iq[0], ic[0], iv[0]
+        ipair, wr, pwr = ipair[0], wr[0], pwr[0]
+        cdata, cids, cscales = cdata[0], cids[0], cscales[0]
+        wq = _gather_work_queries(queries, qidx)
+        W = iq.shape[0]
+        n_pairs = qidx.shape[0] // qtile
+
+        if use_pallas:
+            # same fused kernel as the single-chip TPU default, one
+            # instance per shard over its local slabs
+            from learnedmetricindex_tpu.ops.scan_kernel import (
+                pallas_scan_pairs,
+            )
+
+            ids_flat = cids.reshape(-1)
+            scales_kernel = jnp.where(
+                ids_flat > 0, cscales.reshape(-1), 0.0
+            )
+            cand_d, cand_slot = pallas_scan_pairs(
+                wq,
+                qidx.reshape(n_pairs, qtile),
+                ipair,
+                ic,
+                wr,
+                cdata,
+                scales_kernel,
+                k=k,
+                qtile=qtile,
+                chunk=chunk,
+                n_pairs=n_pairs,
+                compute="f32" if precision == "highest" else "bf16",
+                interpret=interpret,
+            )
+            cand_i = jnp.where(
+                cand_slot >= 0, ids_flat[jnp.maximum(cand_slot, 0)], 0
+            )
+            R = (n_pairs + 1) * qtile
+            cand_q = jnp.concatenate(
+                [qidx, jnp.full((qtile,), -1, jnp.int32)]
+            )
+            row_ok = jnp.repeat(pwr, qtile, total_repeat_length=R)
+            cand_q = jnp.where(row_ok, cand_q, -1)
+            out_d, out_i = _local_topk_sort(
+                cand_d.reshape(R, k), cand_i.reshape(R, k), cand_q, Q, k
+            )
+            return out_d[None], out_i[None]
+
+        def body(_, inputs):
+            q_start, chunk_idx, valid = inputs
+            qv = jax.lax.dynamic_slice(wq, (q_start, 0), (qtile, wq.shape[1]))
+            qi = jax.lax.dynamic_slice(qidx, (q_start,), (qtile,))
+            slab = jax.lax.dynamic_slice(
+                cdata, (chunk_idx * chunk, 0), (chunk, cdata.shape[1])
+            ).astype(jnp.float32)  # int8 slabs dequantize per chunk
+            ids = jax.lax.dynamic_slice_in_dim(cids, chunk_idx, 1, 0)[0]
+            sc = jax.lax.dynamic_slice(cscales, (chunk_idx * chunk,), (chunk,))
+            sims = jnp.dot(
+                qv, slab.T,
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            ) * sc[None, :]
+            dists = 1.0 - sims
+            dists = jnp.where((ids == 0)[None, :], jnp.inf, dists)
+            dists = jnp.where((qi < 0)[:, None], jnp.inf, dists)
+            dists = jnp.where(valid, dists, jnp.inf)
+            neg, pos = _item_topk(dists, k, None)
+            cid = jnp.take_along_axis(
+                jnp.broadcast_to(ids[None, :], dists.shape), pos, axis=1
+            )
+            cid = jnp.where(jnp.isinf(neg), 0, cid)
+            return None, (neg, cid, qi)
+
+        _, (cd_o, ci_o, cq_o) = jax.lax.scan(body, None, (iq, ic, iv))
+        R = W * qtile
+        out_d, out_i = _local_topk_sort(
+            cd_o.reshape(R, k), ci_o.reshape(R, k), cq_o.reshape(R), Q, k
+        )
+        return out_d[None], out_i[None]  # (1, Q, k) per shard
+
+    specs_in = (
+        P(),  # queries replicated
+        P(axis, None),
+        P(axis, None),
+        P(axis, None),
+        P(axis, None),
+        P(axis, None),
+        P(axis, None),
+        P(axis, None),
+        P(axis, None, None),
+        P(axis, None, None),
+        P(axis, None),
+    )
+    out_d, out_i = shard_map(
+        local, mesh=mesh,
+        in_specs=specs_in,
+        out_specs=(P(axis, None, None), P(axis, None, None)),
+        # pallas_call's out_shapes carry no varying-mesh-axes metadata
+        check_vma=False,
+    )(queries, qidx, iq, ic, iv, ipair, wr, pwr, cdata, cids, cscales)
+    # (D, Q, k) → global per-query top-k (XLA inserts the all-gather)
+    all_d = jnp.transpose(out_d, (1, 0, 2)).reshape(Q, -1)
+    all_i = jnp.transpose(out_i, (1, 0, 2)).reshape(Q, -1)
+    neg, pos = jax.lax.top_k(-all_d, k)
+    final_i = jnp.take_along_axis(all_i, pos, axis=1)
+    final_d = -neg
+    final_i = jnp.where(jnp.isinf(final_d), 0, final_i)
+    return final_d, final_i
+
+
 def sharded_search(
     sharded: ShardedStore,
     queries: np.ndarray,
@@ -206,6 +384,7 @@ def sharded_search(
     k: int = 10,
     qtile: int = 16,
     precision: str = "highest",
+    engine: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Search the sharded store: per-device local scans + one
     ``all_gather``-merged top-k per query.
@@ -214,11 +393,15 @@ def sharded_search(
     ``precision``: matmul precision of the local scans — "highest"
     (default) matches the reference's all-f32 in-bucket scan; "default"
     runs one bf16 MXU pass (±2e-3 on unit dots; there is no rerank
-    stage on the sharded path yet).
+    stage on the sharded path — use "highest" when exact final ranking
+    matters).
+    ``engine``: "auto" picks the fused Pallas kernel
+    (``ops/scan_kernel.py``) per shard on TPU when the store shape
+    allows (d and chunk multiples of 128), else the XLA scan body;
+    "pallas"/"xla" force one (Pallas runs in interpret mode off-TPU).
     """
     mesh = sharded.mesh
     n_dev = mesh.devices.size
-    Q = queries.shape[0]
     order = np.asarray(bucket_order)
 
     # --- per-device plans over local bucket ids ----------------------
@@ -233,128 +416,59 @@ def sharded_search(
 
     W_max = max(max(len(p.item_chunk) for p in plans), 1)
     QP_max = max(max(len(p.qidx) for p in plans), qtile)
+    assert QP_max % qtile == 0
+    n_pairs = QP_max // qtile
     item_q_start = np.zeros((n_dev, W_max), np.int32)
     item_chunk = np.zeros((n_dev, W_max), np.int32)
     item_valid = np.zeros((n_dev, W_max), bool)
+    # Pallas-engine item metadata: padding items point at the dummy
+    # pair row n_pairs (they must not re-open a real pair's output
+    # block, which would reset its accumulator)
+    item_pair = np.full((n_dev, W_max), n_pairs, np.int32)
+    w_real = np.zeros((n_dev, 1), np.int32)
+    pair_written = np.zeros((n_dev, n_pairs + 1), bool)
     qidx = np.full((n_dev, QP_max), -1, np.int32)
     for dev, p in enumerate(plans):
         w = len(p.item_chunk)
         item_q_start[dev, :w] = p.item_q_start
         item_chunk[dev, :w] = p.item_chunk
         item_valid[dev, :w] = True
+        item_pair[dev, :w] = (p.item_q_start // qtile).astype(np.int32)
+        w_real[dev, 0] = w
+        if w:
+            pair_written[dev, item_pair[dev, :w]] = True
+        pair_written[dev, n_pairs] = False
         qidx[dev, : len(p.qidx)] = p.qidx
 
-    axis = mesh.axis_names
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
-
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if precision == "highest"
-        else jax.lax.Precision.DEFAULT
+    d_dim = sharded.chunk_data.shape[-1]
+    on_tpu = jax.default_backend() == "tpu"
+    kernel_shapes_ok = (
+        d_dim % 128 == 0 and sharded.chunk % 128 == 0 and qtile % 8 == 0
     )
-
-    @functools.partial(
-        jax.jit,
-        static_argnames=("k", "qtile", "chunk"),
+    use_pallas = engine == "pallas" or (
+        engine == "auto" and on_tpu and kernel_shapes_ok
     )
-    def run(queries, qidx, iq, ic, iv, cdata, cids, cscales, *, k, qtile, chunk):
-        def local(queries, qidx, iq, ic, iv, cdata, cids, cscales):
-            # leading device axis of size 1 inside the shard
-            qidx, iq, ic, iv = qidx[0], iq[0], ic[0], iv[0]
-            cdata, cids, cscales = cdata[0], cids[0], cscales[0]
-            wq = _gather_work_queries(queries, qidx)
-            W = iq.shape[0]
-
-            def body(_, inputs):
-                q_start, chunk_idx, valid = inputs
-                qv = jax.lax.dynamic_slice(wq, (q_start, 0), (qtile, wq.shape[1]))
-                qi = jax.lax.dynamic_slice(qidx, (q_start,), (qtile,))
-                slab = jax.lax.dynamic_slice(
-                    cdata, (chunk_idx * chunk, 0), (chunk, cdata.shape[1])
-                ).astype(jnp.float32)  # int8 slabs dequantize per chunk
-                ids = jax.lax.dynamic_slice_in_dim(cids, chunk_idx, 1, 0)[0]
-                sc = jax.lax.dynamic_slice(cscales, (chunk_idx * chunk,), (chunk,))
-                sims = jnp.dot(
-                    qv, slab.T,
-                    preferred_element_type=jnp.float32,
-                    precision=prec,
-                ) * sc[None, :]
-                dists = 1.0 - sims
-                dists = jnp.where((ids == 0)[None, :], jnp.inf, dists)
-                dists = jnp.where((qi < 0)[:, None], jnp.inf, dists)
-                dists = jnp.where(valid, dists, jnp.inf)
-                neg, pos = _item_topk(dists, k, None)
-                cid = jnp.take_along_axis(
-                    jnp.broadcast_to(ids[None, :], dists.shape), pos, axis=1
-                )
-                cid = jnp.where(jnp.isinf(neg), 0, cid)
-                return None, (neg, cid, qi)
-
-            _, (cd_o, ci_o, cq_o) = jax.lax.scan(body, None, (iq, ic, iv))
-            # local per-query top-k via the sort merge
-            R = W * qtile
-            q_rep = jnp.repeat(
-                jnp.where(cq_o.reshape(R) < 0, Q, cq_o.reshape(R)).astype(
-                    jnp.int32
-                ),
-                k,
-                total_repeat_length=R * k,
-            )
-            d_flat = cd_o.reshape(R * k)
-            i_flat = ci_o.reshape(R * k)
-            q_s, d_s, i_s = jax.lax.sort((q_rep, d_flat, i_flat), num_keys=2)
-            starts = jnp.searchsorted(q_s, jnp.arange(Q, dtype=jnp.int32))
-            idx = jnp.minimum(
-                starts[:, None] + jnp.arange(k)[None, :], R * k - 1
-            )
-            out_d = jnp.where(
-                q_s[idx] == jnp.arange(Q, dtype=jnp.int32)[:, None],
-                d_s[idx],
-                jnp.inf,
-            )
-            out_i = jnp.where(jnp.isinf(out_d), 0, i_s[idx])
-            return out_d[None], out_i[None]  # (1, Q, k) per shard
-
-        specs_in = (
-            P(),  # queries replicated
-            P(axis, None),
-            P(axis, None),
-            P(axis, None),
-            P(axis, None),
-            P(axis, None, None),
-            P(axis, None, None),
-            P(axis, None),
-        )
-        out_d, out_i = shard_map(
-            local, mesh=mesh,
-            in_specs=specs_in,
-            out_specs=(P(axis, None, None), P(axis, None, None)),
-        )(queries, qidx, iq, ic, iv, cdata, cids, cscales)
-        # (D, Q, k) → global per-query top-k (XLA inserts the all-gather)
-        all_d = jnp.transpose(out_d, (1, 0, 2)).reshape(Q, -1)
-        all_i = jnp.transpose(out_i, (1, 0, 2)).reshape(Q, -1)
-        neg, pos = jax.lax.top_k(-all_d, k)
-        final_i = jnp.take_along_axis(all_i, pos, axis=1)
-        final_d = -neg
-        final_i = jnp.where(jnp.isinf(final_d), 0, final_i)
-        return final_d, final_i
 
     mesh_axes = mesh.axis_names
     dev2 = NamedSharding(mesh, P(mesh_axes, None))
-    dists, ids = run(
+    dists, ids = _run_sharded(
         jnp.asarray(np.asarray(queries, np.float32)),
         jax.device_put(qidx, dev2),
         jax.device_put(item_q_start, dev2),
         jax.device_put(item_chunk, dev2),
         jax.device_put(item_valid, dev2),
+        jax.device_put(item_pair, dev2),
+        jax.device_put(w_real, dev2),
+        jax.device_put(pair_written, dev2),
         sharded.chunk_data,
         sharded.chunk_ids,
         sharded.chunk_scales,
+        mesh=mesh,
         k=k,
         qtile=qtile,
         chunk=sharded.chunk,
+        use_pallas=use_pallas,
+        precision=precision,
+        interpret=use_pallas and not on_tpu,
     )
     return np.asarray(dists), np.asarray(ids).astype(np.uint32)

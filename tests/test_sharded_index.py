@@ -117,6 +117,24 @@ def test_sharded_store_int8_stays_int8():
     assert recall(ids, ref_i, 10) >= 0.999
 
 
+def test_sharded_pallas_engine_matches_xla(setup):
+    # the fused Pallas kernel per shard (interpret mode off-TPU) must
+    # return the same results as the XLA scan body
+    data, queries, bucket_ids, mesh, sharded = setup
+    rng = np.random.default_rng(11)
+    order = np.stack(
+        [rng.choice(13, size=3, replace=False) for _ in range(50)]
+    ).astype(np.int64)
+    order[5:9] = -1  # some queries visit nothing
+    pd, pi = sharded_search(sharded, queries, order, k=7, engine="pallas")
+    xd, xi = sharded_search(sharded, queries, order, k=7, engine="xla")
+    np.testing.assert_allclose(pd, xd, rtol=1e-4, atol=1e-5)
+    mism = pi != xi
+    if mism.any():  # id mismatches only possible on exact ties
+        np.testing.assert_allclose(pd[mism], xd[mism], rtol=1e-6, atol=1e-7)
+    assert np.isinf(pd[5:9]).all() and (pi[5:9] == 0).all()
+
+
 def test_sharded_store_from_device_corpus(setup):
     # A device-resident corpus builds without a host round-trip and
     # searches identically to the host-built store.
