@@ -635,7 +635,9 @@ def _pallas_engine_usable(
     if not for_tpu:
         return True
     d = store.chunk_data.shape[1]
-    return d % 128 == 0 and store.chunk % 128 == 0 and qtile % 8 == 0
+    # chunk must divide the 1-D f32 HBM tile T(1024): the kernel's
+    # (chunk,) scales BlockSpec fails Mosaic layout checks otherwise
+    return d % 128 == 0 and store.chunk % 1024 == 0 and qtile % 8 == 0
 
 
 def scan_buckets(

@@ -259,7 +259,15 @@ class LearnedIndex(Logger):
             bucket_ids,
             n_total,
             mesh,
-            chunk=chunk or min(self.config.chunk_size, 256),
+            # TPU default 1024: the smallest chunk the fused Pallas
+            # kernel's shard-local scan covers (chunk % 1024 layout
+            # rule); elsewhere small chunks minimize per-bucket padding
+            chunk=chunk
+            or (
+                1024
+                if jax.default_backend() == "tpu"
+                else min(self.config.chunk_size, 256)
+            ),
             row_scales=None if scales is None else np.asarray(scales),
         )
         self._store_cache = (values, data_prediction, store)

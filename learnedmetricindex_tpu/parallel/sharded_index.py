@@ -443,7 +443,9 @@ def sharded_search(
     d_dim = sharded.chunk_data.shape[-1]
     on_tpu = jax.default_backend() == "tpu"
     kernel_shapes_ok = (
-        d_dim % 128 == 0 and sharded.chunk % 128 == 0 and qtile % 8 == 0
+        # chunk % 1024: the kernel's 1-D (chunk,) scales BlockSpec must
+        # divide the f32 HBM tile T(1024)
+        d_dim % 128 == 0 and sharded.chunk % 1024 == 0 and qtile % 8 == 0
     )
     use_pallas = engine == "pallas" or (
         engine == "auto" and on_tpu and kernel_shapes_ok
