@@ -570,6 +570,75 @@ def _merge_candidates(
     return out_d, out_i
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k_scan", "k", "qtile", "chunk", "n_pairs", "compute",
+        "interpret", "rerank", "n_queries",
+    ),
+)
+def _scan_fused_pallas(
+    work_queries,  # (QP, d) f32, QP = n_pairs * qtile
+    qidx,  # (QP,) int32
+    item_pair,  # (W,) int32
+    item_chunk,  # (W,) int32
+    w_real,  # (1,) int32
+    chunk_data,  # (n_slots, d) packed store
+    scales_flat,  # (n_slots,) f32, 0.0 = pad slot
+    ids_flat,  # (n_slots,) int32 1-based object ids
+    row_ok,  # (R,) bool: candidate rows belonging to written pairs
+    queries_all,  # (Q, d) f32 (rerank)
+    row_slot,  # (n,) int32 or None (rerank id→slot map)
+    *,
+    k_scan: int,
+    k: int,
+    qtile: int,
+    chunk: int,
+    n_pairs: int,
+    compute: str,
+    interpret: bool,
+    rerank: bool,
+    n_queries: int,
+):
+    """The whole Pallas-engine scan — kernel, id resolution, sort merge,
+    optional exact rerank — as ONE jitted dispatch.  Issuing these as
+    separate device calls costs one relay round-trip each on the remote
+    TPU (the dominant per-search fixed overhead once phase 1 is fast)."""
+    from learnedmetricindex_tpu.ops.scan_kernel import pallas_scan_pairs
+
+    cand_d, cand_slot = pallas_scan_pairs(
+        work_queries,
+        qidx.reshape(n_pairs, qtile),
+        item_pair,
+        item_chunk,
+        w_real,
+        chunk_data,
+        scales_flat,
+        k=k_scan,
+        qtile=qtile,
+        chunk=chunk,
+        n_pairs=n_pairs,
+        compute=compute,
+        interpret=interpret,
+    )
+    cand_i = jnp.where(cand_slot >= 0, ids_flat[jnp.maximum(cand_slot, 0)], 0)
+    R = (n_pairs + 1) * qtile
+    cand_q = jnp.concatenate([qidx, jnp.full((qtile,), -1, jnp.int32)])
+    cand_q = jnp.where(row_ok, cand_q, -1)
+    dists, ids = _merge_candidates(
+        cand_d.reshape(R, k_scan),
+        cand_i.reshape(R, k_scan),
+        cand_q,
+        k=k_scan,
+        n_queries=n_queries,
+    )
+    if rerank:
+        dists, ids = _rerank_exact(
+            dists, ids, queries_all, chunk_data, scales_flat, row_slot, k=k
+        )
+    return dists, ids
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _rerank_exact(
     cand_d: jnp.ndarray,  # (Q, kk) candidate distances (approximate)
@@ -737,21 +806,39 @@ def scan_buckets(
     )
     ran_pallas = False
     if use_pallas and _pallas_engine_usable(store, qtile):
-        from learnedmetricindex_tpu.ops.scan_kernel import scan_pairs_pallas
+        from learnedmetricindex_tpu.ops.scan_kernel import pallas_host_args
 
         try:
-            cand_d, cand_i, cand_q = scan_pairs_pallas(
-                store,
-                plan,
+            n_pairs = QP // qtile
+            item_pair, item_chunk_p, w_real, scales_flat, pair_written = (
+                pallas_host_args(store, plan, qtile, n_pairs)
+            )
+            row_ok = np.repeat(pair_written, qtile)
+            # kernel + id resolve + merge + rerank in ONE dispatch
+            dists, ids = _scan_fused_pallas(
                 work_queries,
                 qidx_dev,
-                k=k_scan,
+                jnp.asarray(item_pair),
+                jnp.asarray(item_chunk_p),
+                jnp.asarray(w_real),
+                store.chunk_data,
+                scales_flat,
+                store.chunk_ids.reshape(-1),
+                jnp.asarray(row_ok),
+                q_dev_all,
+                store.row_slot if rerank else None,
+                k_scan=k_scan,
+                k=k,
                 qtile=qtile,
+                chunk=store.chunk,
+                n_pairs=n_pairs,
                 compute="f32" if scan_precision == "highest" else "bf16",
                 interpret=jax.default_backend() != "tpu",
+                rerank=rerank,
+                n_queries=plan.n_queries,
             )
             ran_pallas = True
-            t0 = _dbg("phase1-pallas", t0, cand_d)
+            t0 = _dbg("scan-fused-pallas", t0, dists)
         except Exception:
             if engine == "pallas":
                 raise  # explicit request: surface the error
@@ -759,7 +846,7 @@ def scan_buckets(
             # failure at an extreme work-list size)
             ran_pallas = False
     if ran_pallas:
-        pass
+        return np.asarray(dists), np.asarray(ids).astype(np.uint32)
     elif store.chunk_data is not None:
         cand_d, cand_i, cand_q = _scan_items(
             work_queries,

@@ -272,6 +272,46 @@ def pallas_scan_pairs(
     return cand_d[:, :, :k], cand_i[:, :, :k]
 
 
+def pallas_host_args(store, plan, qtile: int, n_pairs: int):
+    """Host-side prep shared by the kernel's call paths: per-item
+    prefetch arrays from a
+    :class:`~learnedmetricindex_tpu.index.bucket_store.ScanPlan` (whose
+    work list is (bucket, tile)-major, so each pair's chunks are
+    consecutive), the flat scales array, and the written-pair mask.
+
+    Returns ``(item_pair, item_chunk, w_real, scales_flat,
+    pair_written)``; ``pair_written`` masks output rows of pairs whose
+    bucket has zero chunks (never written — uninitialized memory) and
+    the dummy pair row ``n_pairs`` that absorbs padding items.
+    """
+    import numpy as np
+
+    W = len(plan.item_chunk)
+    item_pair = (plan.item_q_start // qtile).astype(np.int32)
+    item_chunk = plan.item_chunk.astype(np.int32)
+    if W == 0:
+        item_pair = np.array([n_pairs], np.int32)
+        item_chunk = np.zeros(1, np.int32)
+
+    pair_written = np.zeros(n_pairs + 1, bool)
+    if W:
+        pair_written[item_pair] = True
+    pair_written[n_pairs] = False
+
+    if store.chunk_scales is not None:
+        scales_flat = store.chunk_scales.reshape(-1)
+    else:
+        # unscaled store: 1.0 on valid slots, 0.0 marks padding
+        scales_flat = (store.chunk_ids.reshape(-1) > 0).astype(jnp.float32)
+    return (
+        item_pair,
+        item_chunk,
+        np.array([W], np.int32),
+        scales_flat,
+        pair_written,
+    )
+
+
 def scan_pairs_pallas(
     store,
     plan,
@@ -283,47 +323,28 @@ def scan_pairs_pallas(
     compute: str = "bf16",
     interpret: bool = False,
 ):
-    """Host-side wrapper: build the per-item prefetch arrays from a
-    :class:`~learnedmetricindex_tpu.index.bucket_store.ScanPlan` (whose
-    work list is (bucket, tile)-major, so each pair's chunks are
-    consecutive) and run the fused kernel.
+    """Host-side wrapper: :func:`pallas_host_args` + the fused kernel.
 
     Returns ``(cand_d (R, k), cand_i (R, k), cand_q (R,))`` with
     ``R = (n_pairs + 1) * qtile`` rows, ready for
-    ``bucket_store._merge_candidates``.
+    ``bucket_store._merge_candidates``.  (``bucket_store.scan_buckets``
+    uses the single-dispatch ``_scan_fused_pallas`` instead; this entry
+    point remains for kernel-level tests and composition.)
     """
     import numpy as np
 
-    W = len(plan.item_chunk)
     QP = work_queries.shape[0]
     n_pairs = QP // qtile
     assert QP % qtile == 0
-
-    item_pair = (plan.item_q_start // qtile).astype(np.int32)
-    item_chunk = plan.item_chunk.astype(np.int32)
-    if W == 0:
-        item_pair = np.array([n_pairs], np.int32)
-        item_chunk = np.zeros(1, np.int32)
-
-    # A pair whose bucket has zero chunks gets no grid step, so its
-    # output rows are never written (uninitialized memory) — mask those
-    # rows out of the merge, along with the dummy pair row n_pairs.
-    pair_written = np.zeros(n_pairs + 1, bool)
-    if W:
-        pair_written[item_pair] = True
-    pair_written[n_pairs] = False
-
-    if store.chunk_scales is not None:
-        scales_flat = store.chunk_scales.reshape(-1)
-    else:
-        # unscaled store: 1.0 on valid slots, 0.0 marks padding
-        scales_flat = (store.chunk_ids.reshape(-1) > 0).astype(jnp.float32)
+    item_pair, item_chunk, w_real, scales_flat, pair_written = (
+        pallas_host_args(store, plan, qtile, n_pairs)
+    )
     cand_d, cand_slot = pallas_scan_pairs(
         work_queries,
         qidx.reshape(n_pairs, qtile),
         jnp.asarray(item_pair),
         jnp.asarray(item_chunk),
-        jnp.asarray(np.array([W], np.int32)),
+        jnp.asarray(w_real),
         store.chunk_data,
         scales_flat,
         k=k,
