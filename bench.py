@@ -292,9 +292,20 @@ def main():
 
     log(f"ground truth for {gt_q}/{args.queries} queries (device) ...")
     t0 = time.perf_counter()
-    _, gt = exact_knn(values, queries[:gt_q], k=10, tile_rows=131_072,
+    # the oracle's (tile_rows, gt_q) f32 similarity block must fit next
+    # to the resident corpus: size the tile to the HBM that is left
+    # (131072 rows x 10k queries = 5.2 GB, fine at 10M, OOM at 17.5M)
+    from learnedmetricindex_tpu.ops.kmeans import device_free_bytes
+
+    hbm_free = device_free_bytes()
+    if hbm_free is None:  # runtime without memory stats: assume 16 GB
+        hbm_free = 15_000_000_000 - values.nbytes
+    hbm_free -= 1_000_000_000  # headroom for the oracle's own buffers
+    gt_tile = max(8192, min(131_072, hbm_free // (8 * max(gt_q, 1))))
+    gt_tile = 1 << (int(gt_tile).bit_length() - 1)
+    _, gt = exact_knn(values, queries[:gt_q], k=10, tile_rows=gt_tile,
                       row_scales=scales)
-    log(f"  gt in {time.perf_counter() - t0:.1f}s")
+    log(f"  gt in {time.perf_counter() - t0:.1f}s (tile {gt_tile})")
 
     data = (values, scales)
     cfg = lmi.BuildConfiguration(
@@ -407,9 +418,11 @@ def main():
             }
             log(f"  2-level visit={v}: recall={rv:.4f} search={sv:.3f}s")
             dst = f"bench_artifacts/two_level_v{v}.h5"
-            dd = np.zeros((len(av), 10), np.float32)
+            # store only rows with ground truth: evaluate_to_csv below
+            # compares against gt (gt_q rows)
+            dd = np.zeros((gt_q, 10), np.float32)
             lmi_eval.store_results(
-                dst, "learned-index-2level", regime, dd, av,
+                dst, "learned-index-2level", regime, dd, av[:gt_q],
                 two_build_t, sv, f"cats={args.two_level_categories}-v={v}",
                 f"{args.n}",
             )
@@ -441,6 +454,9 @@ def main():
         "qps": round(args.queries / search_s, 1),
         "dtype": "int8",
         "store": "packed",
+        "engine": (
+            "pallas-fused" if jax.default_backend() == "tpu" else "xla"
+        ),
         "recall_vs_visit": curve,
         "two_level": two,
     }

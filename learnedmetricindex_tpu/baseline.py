@@ -30,6 +30,12 @@ class Baseline(Logger):
         return time.perf_counter() - s
 
     def _normalized(self, data):
+        """Identity-keyed cache: holds BOTH the raw array and one
+        normalized f32 copy for the Baseline's lifetime, and assumes the
+        caller does not mutate ``data`` in place between searches (an
+        in-place update with the same array object would serve stale
+        neighbors — pass a fresh array, or a fresh ``Baseline``, after
+        mutating)."""
         if self._norm_cache is not None and self._norm_cache[0] is data:
             return self._norm_cache[1]
         normed = normalize(np.asarray(data))

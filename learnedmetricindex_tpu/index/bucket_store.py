@@ -804,6 +804,14 @@ def scan_buckets(
     use_pallas = engine == "pallas" or (
         engine == "auto" and jax.default_backend() == "tpu"
     )
+    if engine == "pallas" and not _pallas_engine_usable(store, qtile):
+        raise ValueError(
+            "engine='pallas' forced but the store shape is outside the "
+            "kernel's coverage (packed store with int32-range ids "
+            "required; on TPU additionally d % 128 == 0, "
+            "chunk % 1024 == 0, qtile % 8 == 0) — use engine='auto' "
+            "for silent fallback to the XLA engine"
+        )
     ran_pallas = False
     if use_pallas and _pallas_engine_usable(store, qtile):
         from learnedmetricindex_tpu.ops.scan_kernel import pallas_host_args
@@ -839,11 +847,20 @@ def scan_buckets(
             )
             ran_pallas = True
             t0 = _dbg("scan-fused-pallas", t0, dists)
-        except Exception:
+        except Exception as e:
             if engine == "pallas":
                 raise  # explicit request: surface the error
             # auto mode: fall back to the XLA engine (e.g. a compiler
-            # failure at an extreme work-list size)
+            # failure at an extreme work-list size) — loudly, or a
+            # silent perf regression would be invisible in production
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Pallas scan engine failed (%s: %s); falling back to "
+                "the XLA engine for this call",
+                type(e).__name__,
+                e,
+            )
             ran_pallas = False
     if ran_pallas:
         return np.asarray(dists), np.asarray(ids).astype(np.uint32)

@@ -160,6 +160,9 @@ class LearnedIndex(Logger):
             cached is not None
             and cached[0] is values
             and cached[1] is data_prediction
+            # the one-entry cache is shared with get_sharded_store:
+            # a ShardedStore (has .mesh) must not satisfy this lookup
+            and getattr(cached[2], "mesh", None) is None
         ):
             store = cached[2]
         else:

@@ -265,6 +265,17 @@ def kmeans_assign(centroids, data, tile_rows: int = 0, row_scales=None) -> np.nd
     n, d = data.shape
     if not tile_rows:
         tile_rows = max(8192, min(n, (384 << 20) // max(d, 1)))
+        if isinstance(data, jax.Array):
+            # the corpus is HBM-resident: clamp the per-block f32
+            # working set to what is actually left on the device (a
+            # 17.5M int8 corpus leaves ~2 GB on a 16 GB chip)
+            free = device_free_bytes()
+            if free is None:
+                # runtime without memory stats (e.g. the axon PJRT
+                # plugin): assume a 16 GB chip minus the resident corpus
+                free = 15_000_000_000 - data.nbytes
+            budget_rows = max(8192, int(free // 3) // (4 * max(d, 1)))
+            tile_rows = min(tile_rows, budget_rows)
     centroids_dev = jnp.asarray(np.asarray(centroids), dtype=jnp.float32)
     tile_rows = int(min(tile_rows, max(8, n)))
     if row_scales is not None:
@@ -276,12 +287,17 @@ def kmeans_assign(centroids, data, tile_rows: int = 0, row_scales=None) -> np.nd
     for start in range(0, n, tile_rows):
         block = data[start : start + tile_rows]
         rows = block.shape[0]
+        sc = None
         if isinstance(block, jax.Array):
-            if row_scales is not None:
-                sc = row_scales_dev[start : start + rows]
-                block = block.astype(jnp.float32) * sc[:, None]
+            # dequantization happens INSIDE the jitted assign: eager
+            # astype/multiply here would materialize two block-sized f32
+            # temporaries next to the resident corpus (OOM at 17.5M)
             if rows < tile_rows:
                 block = jnp.pad(block, ((0, tile_rows - rows), (0, 0)))
+            if row_scales is not None:
+                sc = row_scales_dev[start : start + rows]
+                if rows < tile_rows:
+                    sc = jnp.pad(sc, (0, tile_rows - rows))
         else:
             block = np.asarray(block, dtype=np.float32)
             if row_scales is not None:
@@ -292,14 +308,27 @@ def kmeans_assign(centroids, data, tile_rows: int = 0, row_scales=None) -> np.nd
                 pad_block[:rows] = block
                 block = pad_block
             block = jnp.asarray(block)
-        label_blocks.append(_assign_block(block, centroids_dev)[:rows])
+        label_blocks.append(_assign_block(block, centroids_dev, sc)[:rows])
     return np.asarray(jnp.concatenate(label_blocks)).astype(np.int32)
 
 
+def device_free_bytes():
+    """Free HBM on the default device, or None if the runtime doesn't
+    expose memory stats (e.g. some PJRT plugins)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return int(stats["bytes_limit"]) - int(stats["bytes_in_use"])
+    except Exception:
+        return None
+
+
 @jax.jit
-def _assign_block(block, centroids):
+def _assign_block(block, centroids, scales=None):
+    b = block.astype(jnp.float32)
+    if scales is not None:
+        b = b * scales[:, None]
     sims = jnp.dot(
-        block.astype(jnp.float32),
+        b,
         centroids.T,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,

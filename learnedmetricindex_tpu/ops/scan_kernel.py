@@ -310,63 +310,3 @@ def pallas_host_args(store, plan, qtile: int, n_pairs: int):
         scales_flat,
         pair_written,
     )
-
-
-def scan_pairs_pallas(
-    store,
-    plan,
-    work_queries,  # (QP_padded, d) f32 device
-    qidx,  # (QP_padded,) int32 device
-    *,
-    k: int,
-    qtile: int,
-    compute: str = "bf16",
-    interpret: bool = False,
-):
-    """Host-side wrapper: :func:`pallas_host_args` + the fused kernel.
-
-    Returns ``(cand_d (R, k), cand_i (R, k), cand_q (R,))`` with
-    ``R = (n_pairs + 1) * qtile`` rows, ready for
-    ``bucket_store._merge_candidates``.  (``bucket_store.scan_buckets``
-    uses the single-dispatch ``_scan_fused_pallas`` instead; this entry
-    point remains for kernel-level tests and composition.)
-    """
-    import numpy as np
-
-    QP = work_queries.shape[0]
-    n_pairs = QP // qtile
-    assert QP % qtile == 0
-    item_pair, item_chunk, w_real, scales_flat, pair_written = (
-        pallas_host_args(store, plan, qtile, n_pairs)
-    )
-    cand_d, cand_slot = pallas_scan_pairs(
-        work_queries,
-        qidx.reshape(n_pairs, qtile),
-        jnp.asarray(item_pair),
-        jnp.asarray(item_chunk),
-        jnp.asarray(w_real),
-        store.chunk_data,
-        scales_flat,
-        k=k,
-        qtile=qtile,
-        chunk=store.chunk,
-        n_pairs=n_pairs,
-        compute=compute,
-        interpret=interpret,
-    )
-    # resolve slot indices → object ids with one flat gather
-    ids_flat = store.chunk_ids.reshape(-1)
-    cand_i = jnp.where(
-        cand_slot >= 0, ids_flat[jnp.maximum(cand_slot, 0)], 0
-    )
-    R = (n_pairs + 1) * qtile
-    cand_q = jnp.concatenate([qidx, jnp.full((qtile,), -1, jnp.int32)])
-    row_ok = jnp.repeat(
-        jnp.asarray(pair_written), qtile, total_repeat_length=R
-    )
-    cand_q = jnp.where(row_ok, cand_q, -1)
-    return (
-        cand_d.reshape(R, k),
-        cand_i.reshape(R, k),
-        cand_q,
-    )

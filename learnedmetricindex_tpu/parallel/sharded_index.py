@@ -256,8 +256,13 @@ def _run_sharded(
     Q = queries.shape[0]
     try:
         from jax import shard_map
+
+        # pallas_call's out_shapes carry no varying-mesh-axes metadata
+        sm_kwargs = {"check_vma": False}
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
+
+        sm_kwargs = {"check_rep": False}  # pre-check_vma spelling
 
     prec = (
         jax.lax.Precision.HIGHEST
@@ -364,8 +369,7 @@ def _run_sharded(
         local, mesh=mesh,
         in_specs=specs_in,
         out_specs=(P(axis, None, None), P(axis, None, None)),
-        # pallas_call's out_shapes carry no varying-mesh-axes metadata
-        check_vma=False,
+        **sm_kwargs,
     )(queries, qidx, iq, ic, iv, ipair, wr, pwr, cdata, cids, cscales)
     # (D, Q, k) → global per-query top-k (XLA inserts the all-gather)
     all_d = jnp.transpose(out_d, (1, 0, 2)).reshape(Q, -1)
