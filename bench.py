@@ -269,11 +269,10 @@ def main():
 
     # persistent compilation cache: fresh-process XLA compiles otherwise
     # dominate wall-clock (the sort-merge alone compiles ~2 minutes)
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/lmi-jax-cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception as e:  # pragma: no cover
-        log(f"compilation cache unavailable: {e}")
+    import learnedmetricindex_tpu as _lmi
+
+    if not _lmi.enable_compilation_cache():  # pragma: no cover
+        log("compilation cache unavailable")
 
     log(f"devices: {jax.devices()}")
     import learnedmetricindex_tpu as lmi

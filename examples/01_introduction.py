@@ -31,6 +31,8 @@ def main():
     from learnedmetricindex_tpu.data import load_dataset, synthetic_blobs
     from learnedmetricindex_tpu.ops import exact_knn, recall
 
+    lmi.enable_compilation_cache()  # re-runs skip the multi-minute compiles
+
     # ------------------------------------------------------------------
     # 1. Data: navigation embeddings + (possibly different) search
     #    embeddings.  The notebook navigates in 32-d PCA space and scans

@@ -49,11 +49,29 @@ def __getattr__(name):
         return getattr(importlib.import_module(module), attr)
     raise AttributeError(name)
 
+
+def enable_compilation_cache(path: str = "/tmp/lmi-jax-cache") -> bool:
+    """Enable JAX's persistent compilation cache (opt-in; the CLI,
+    bench, and examples call this).  Fresh-process XLA compiles
+    otherwise dominate wall-clock on remote-compile TPU runtimes —
+    the scan's sort-merge alone compiles for minutes.  Returns False
+    if the running jax build does not support it."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        return True
+    except Exception:
+        return False
+
+
 __all__ = [
     "BuildConfiguration",
     "ModelParameters",
     "Baseline",
     "LearnedIndexBuilder",
     "LearnedIndex",
+    "enable_compilation_cache",
     "__version__",
 ]

@@ -288,13 +288,9 @@ def expand_per_level(args: dict) -> None:
 
 def main(argv=None):
     configure_logging()
-    try:
-        import jax
+    from learnedmetricindex_tpu import enable_compilation_cache
 
-        jax.config.update("jax_compilation_cache_dir", "/tmp/lmi-jax-cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:  # pragma: no cover
-        pass
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     expand_per_level(vars(args))
     return run(

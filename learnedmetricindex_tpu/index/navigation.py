@@ -183,22 +183,35 @@ def _best_first_device(
     return order
 
 
+def _quantize_visits(n_buckets: int, n_leaves: int) -> int:
+    """Round the compiled emit capacity up to a power of two so
+    sweeping ``n_buckets`` (the reference's ``--buckets-perc`` sweep)
+    reuses a logarithmic set of compiled programs — each distinct
+    capacity otherwise recompiles the traversal while-loop for seconds
+    to minutes.  Best-first order has the prefix property, so
+    computing a few extra visits and slicing changes nothing; the
+    extra emit iterations are bounded by 2×."""
+    cap = 1 << max(int(n_buckets) - 1, 0).bit_length()
+    return min(n_leaves, max(cap, 1))
+
+
 def best_first_order(
     layout: TreeLayout, entry_probs: jnp.ndarray, n_buckets: int
 ) -> np.ndarray:
     """Reference-parity best-first visit order → (Q, n_buckets) global
     bucket ids (-1 where a query ran out of reachable buckets)."""
     n_buckets = min(n_buckets, layout.n_leaves)
+    cap = _quantize_visits(n_buckets, layout.n_leaves)
     order = _best_first_device(
         entry_probs,
         jnp.asarray(layout.child_base),
         jnp.asarray(layout.child_count),
         jnp.asarray(layout.is_leaf),
         jnp.int32(layout.offsets[1]),
-        n_buckets=n_buckets,
+        n_buckets=cap,
         layout_key=layout.offsets,
     )
-    return np.asarray(order)
+    return np.asarray(order[:, :n_buckets])
 
 
 @functools.partial(jax.jit, static_argnames=("n_buckets",))
@@ -226,7 +239,8 @@ def joint_order(
     # leaves with zero accumulated probability are unreachable
     acc = jnp.where(acc > 0.0, acc, INVALID)
     n_buckets = min(n_buckets, layout.n_leaves)
-    return np.asarray(_joint_topk(acc, n_buckets=n_buckets))
+    cap = _quantize_visits(n_buckets, layout.n_leaves)
+    return np.asarray(_joint_topk(acc, n_buckets=cap)[:, :n_buckets])
 
 
 def topk_order_single_level(
@@ -236,4 +250,5 @@ def topk_order_single_level(
     (the reference's special case, ``LearnedIndex.py:209-214``)."""
     probs = jnp.where(jnp.asarray(valid)[None, :], root_probs, INVALID)
     n_buckets = min(n_buckets, probs.shape[1])
-    return np.asarray(_joint_topk(probs, n_buckets=n_buckets))
+    cap = _quantize_visits(n_buckets, probs.shape[1])
+    return np.asarray(_joint_topk(probs, n_buckets=cap)[:, :n_buckets])
