@@ -342,6 +342,15 @@ def main():
     log("packing device store (regeneration, corpus freed) ...")
     t0 = time.perf_counter()
     store = pack_store_by_regen(index, pred, gen, args.n, args.chunk)
+    from learnedmetricindex_tpu.index.bucket_store import (
+        _pallas_engine_usable,
+    )
+
+    scan_engine = (
+        "pallas-fused"
+        if jax.default_backend() == "tpu" and _pallas_engine_usable(store, 128)
+        else "xla"
+    )
     log(f"  packed {store.nbytes()/1e9:.1f} GB in {time.perf_counter()-t0:.1f}s")
 
     approx = args.approx_recall if args.approx_recall > 0 else None
@@ -453,9 +462,7 @@ def main():
         "qps": round(args.queries / search_s, 1),
         "dtype": "int8",
         "store": "packed",
-        "engine": (
-            "pallas-fused" if jax.default_backend() == "tpu" else "xla"
-        ),
+        "engine": scan_engine,
         "recall_vs_visit": curve,
         "two_level": two,
     }

@@ -145,3 +145,15 @@ def test_joint_order_ranks_by_product():
     joint = (p1[:, :, None] * p2).reshape(12, 9)
     ref = np.argsort(-joint, axis=1, kind="stable")
     np.testing.assert_array_equal(got, ref)
+
+
+def test_visit_capacity_quantization_preserves_prefix():
+    # the compiled emit capacity rounds up to a power of two; the
+    # returned order must still be exactly the requested prefix
+    from learnedmetricindex_tpu.index.navigation import _quantize_visits
+
+    assert _quantize_visits(1, 100) == 1
+    assert _quantize_visits(5, 100) == 8
+    assert _quantize_visits(20, 100) == 32
+    assert _quantize_visits(20, 24) == 24  # clamped to the leaf count
+    assert _quantize_visits(64, 100) == 64

@@ -105,3 +105,17 @@ def test_pallas_usability_gate():
         jnp.asarray(data), bucket_ids, 6, chunk=64
     )
     assert not _pallas_engine_usable(vstore, 128)
+
+
+def test_engine_pallas_forced_raises_outside_coverage():
+    # engine="pallas" must surface an error instead of silently running
+    # the XLA engine (virtual stores are outside kernel coverage)
+    import jax.numpy as jnp
+
+    data, queries = synthetic_blobs(200, 8, 10, seed=4)
+    vstore = BucketStore.build_virtual(
+        jnp.asarray(data), np.zeros(200, dtype=np.int64), 1
+    )
+    order = np.zeros((10, 1), dtype=np.int64)
+    with pytest.raises(ValueError, match="pallas"):
+        scan_buckets(vstore, queries, order, k=3, engine="pallas")
