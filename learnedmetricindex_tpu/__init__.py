@@ -60,7 +60,10 @@ def enable_compilation_cache(path: str = "/tmp/lmi-jax-cache") -> bool:
 
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # 0: persist even sub-second programs — navigation alone spans
+        # ~38 small programs of ~0.4 s each through the remote compile
+        # service, all below the 0.5 s default threshold
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         return True
     except Exception:
         return False
