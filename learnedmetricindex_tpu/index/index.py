@@ -26,6 +26,7 @@ space — ``search/search.py:192-215``) work unchanged: navigation uses
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -38,10 +39,6 @@ from learnedmetricindex_tpu.config import BuildConfiguration
 from learnedmetricindex_tpu.index.bucket_store import BucketStore, scan_buckets
 from learnedmetricindex_tpu.index.navigation import (
     TreeLayout,
-    best_first_order,
-    flatten_entry_probs,
-    joint_order,
-    topk_order_single_level,
 )
 from learnedmetricindex_tpu.models.mlp import stacked_mlp_apply
 from learnedmetricindex_tpu.utils.logging import Logger
@@ -66,14 +63,80 @@ class LevelModels:
         return self.class_mask.shape[1]
 
 
-def _level_probs(level: LevelModels, queries: jnp.ndarray) -> jnp.ndarray:
+def _masked_level_probs(params, mask, queries):
     """(Q, n_models, C) conditional probabilities, masked classes at 0."""
-    logits = stacked_mlp_apply(level.params, queries)  # (M, Q, C)
-    mask = jnp.asarray(level.class_mask)[:, None, :]
-    logits = jnp.where(mask, logits, NEG_INF)
+    logits = stacked_mlp_apply(params, queries)  # (M, Q, C)
+    m = mask[:, None, :]
+    logits = jnp.where(m, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    probs = jnp.where(mask, probs, 0.0)
+    probs = jnp.where(m, probs, 0.0)
     return jnp.transpose(probs, (1, 0, 2))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap", "policy", "layout_key")
+)
+def _navigate_device(
+    queries,  # (Q, d) f32
+    level_params,  # tuple of stacked pytrees, one per level
+    level_masks,  # tuple of (M, C) bool arrays
+    child_base,
+    child_count,
+    is_leaf,
+    first_level_end,
+    *,
+    cap: int,
+    policy: str,
+    layout_key,
+):
+    """The WHOLE navigation phase as one jitted dispatch: per-level
+    stacked forwards + masking + the ordering policy.  Issued as eager
+    glue between small jits (round 1) this spanned ~38 programs of
+    ~0.4 s compile each through the remote compile service, and the
+    class masks were closure-captured constants — now traced arguments,
+    so different builds share the compiled program."""
+    from learnedmetricindex_tpu.index.navigation import (
+        INVALID,
+        _best_first_device,
+        _joint_topk,
+    )
+
+    Q = queries.shape[0]
+    level_probs = [
+        _masked_level_probs(p, m, queries)
+        for p, m in zip(level_params, level_masks)
+    ]
+    if len(level_probs) == 1:
+        probs = jnp.where(
+            level_masks[0][0][None, :], level_probs[0][:, 0, :], INVALID
+        )
+        return _joint_topk(probs, n_buckets=cap)
+    if policy == "joint":
+        acc = None
+        for probs, valid in zip(level_probs, level_masks):
+            p = jnp.where(valid[None, :, :], probs, 0.0)
+            acc = (
+                p.reshape(Q, -1)
+                if acc is None
+                else (acc[:, :, None] * p).reshape(Q, -1)
+            )
+        acc = jnp.where(acc > 0.0, acc, INVALID)
+        return _joint_topk(acc, n_buckets=cap)
+    # best_first: flatten per-level entries then replay the traversal
+    parts = [
+        jnp.where(valid[None, :, :], probs, INVALID).reshape(Q, -1)
+        for probs, valid in zip(level_probs, level_masks)
+    ]
+    entry_probs = jnp.concatenate(parts, axis=1)
+    return _best_first_device(
+        entry_probs,
+        child_base,
+        child_count,
+        is_leaf,
+        first_level_end,
+        n_buckets=cap,
+        layout_key=layout_key,
+    )
 
 
 class LearnedIndex(Logger):
@@ -276,13 +339,6 @@ class LearnedIndex(Logger):
         self._store_cache = (values, data_prediction, store)
         return store
 
-    def _tree_probs(self, queries_navigation: jnp.ndarray):
-        level_probs = [
-            _level_probs(level, queries_navigation) for level in self.levels
-        ]
-        level_valid = [level.class_mask for level in self.levels]
-        return level_probs, level_valid
-
     def compute_bucket_order(
         self,
         queries_navigation,
@@ -296,26 +352,32 @@ class LearnedIndex(Logger):
         inference seconds).
         """
         s = time.perf_counter()
+        if policy not in ("best_first", "joint"):
+            raise ValueError(f"Unknown navigation policy: {policy}")
         if isinstance(queries_navigation, jax.Array):
             q = queries_navigation.astype(jnp.float32)
         else:
             q = jnp.asarray(np.asarray(queries_navigation, dtype=np.float32))
-        level_probs, level_valid = self._tree_probs(q)
 
-        if self.n_levels == 1:
-            order = topk_order_single_level(
-                level_probs[0][:, 0, :], level_valid[0][0], n_buckets
-            )  # cf. LearnedIndex.py:209-214
-        elif policy == "joint":
-            order = joint_order(self.layout, level_probs, level_valid, n_buckets)
-        elif policy == "best_first":
-            entry_probs = flatten_entry_probs(
-                self.layout, level_probs, level_valid
-            )
-            order = best_first_order(self.layout, entry_probs, n_buckets)
-        else:
-            raise ValueError(f"Unknown navigation policy: {policy}")
-        return np.asarray(order), time.perf_counter() - s
+        from learnedmetricindex_tpu.index.navigation import _quantize_visits
+
+        layout = self.layout
+        n_leaves = layout.n_leaves
+        n_buckets = min(n_buckets, n_leaves)
+        cap = _quantize_visits(n_buckets, n_leaves)
+        order = _navigate_device(
+            q,
+            tuple(level.params for level in self.levels),
+            tuple(jnp.asarray(level.class_mask) for level in self.levels),
+            jnp.asarray(layout.child_base),
+            jnp.asarray(layout.child_count),
+            jnp.asarray(layout.is_leaf),
+            jnp.int32(layout.offsets[1]),
+            cap=cap,
+            policy=policy,
+            layout_key=layout.offsets,
+        )
+        return np.asarray(order[:, :n_buckets]), time.perf_counter() - s
 
     def search(
         self,

@@ -11,7 +11,7 @@ Here the two concerns are decoupled:
 1. **All probabilities first.**  Every level's node models are stacked,
    so all conditional probabilities ``P(child | node)`` for the whole
    tree come from one batched einsum per level (MXU-friendly), done by
-   the caller (:meth:`LearnedIndex._tree_probs`).
+   the caller (``LearnedIndex._navigate_device``).
 2. **Traversal as an array state machine.**  Given the precomputed
    entry probabilities, the reference's best-first traversal is replayed
    exactly: each tree entry (node or leaf) is hidden / queued / popped;
