@@ -119,3 +119,14 @@ def test_engine_pallas_forced_raises_outside_coverage():
     order = np.zeros((10, 1), dtype=np.int64)
     with pytest.raises(ValueError, match="pallas"):
         scan_buckets(vstore, queries, order, k=3, engine="pallas")
+
+
+def test_pallas_large_k_matches_oracle():
+    # k=24 spans 3 sublane groups of accumulator rows (kpad=24) and
+    # exceeds some bucket sizes, exercising inf/0 fill
+    data, queries, bucket_ids, store = _store(n=500, d=16, chunk=64)
+    order = np.tile(np.arange(6, dtype=np.int64), (len(queries), 1))
+    pd, pi = _compare(store, queries, order, k=24, qtile=16)
+    ref_d, ref_i = exact_knn(data, queries, k=24)
+    np.testing.assert_allclose(pd, ref_d, rtol=1e-4, atol=1e-5)
+    assert recall(pi, ref_i, 24) == 1.0
