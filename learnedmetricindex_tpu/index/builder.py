@@ -125,10 +125,22 @@ class LearnedIndexBuilder(Logger):
             labels_full = np.zeros(n, dtype=np.int32)
             class_mask = np.zeros((n_models, C), dtype=bool)
             s_cluster = time.perf_counter()
+            import jax as _jax
+
             for gid in np.nonzero(valid_nodes)[0]:
                 rows = np.nonzero(parent_gid == gid)[0]
-                # avoid a full on-device copy when one node owns all rows
-                subset = self.data if len(rows) == n else self.data[rows]
+                # Device corpus + partial node: hand the row indices to
+                # k-means instead of materializing data[rows] — the
+                # per-node eager gather compiles a fresh program for
+                # every distinct node size (measured: most of a level's
+                # clustering wall-clock at 10 nodes), and per-node
+                # scale slices do the same.
+                rows_kw = None
+                if isinstance(self.data, _jax.Array) and len(rows) != n:
+                    subset = self.data
+                    rows_kw = rows
+                else:
+                    subset = self.data if len(rows) == n else self.data[rows]
                 if len(rows) < 2:
                     labels_full[rows] = 0
                     class_mask[gid, :1] = True
@@ -136,11 +148,10 @@ class LearnedIndexBuilder(Logger):
                 k_g = _guarded_n_clusters(len(rows), C)
                 sub_scales = None
                 if self.row_scales is not None:
-                    sub_scales = (
-                        self.row_scales
-                        if len(rows) == n
-                        else self.row_scales[rows]
-                    )
+                    if rows_kw is not None or len(rows) == n:
+                        sub_scales = self.row_scales
+                    else:
+                        sub_scales = self.row_scales[rows]
                 seed_g = cfg.seed + level * 1_000_003 + int(gid)
                 if (
                     self.mesh is not None
@@ -170,6 +181,7 @@ class LearnedIndexBuilder(Logger):
                             "seed": seed_g,
                             "round_sizes": level > 0,
                             "row_scales": sub_scales,
+                            "rows": rows_kw,
                         },
                     )
                 # Compact to a dense label range — the reference's

@@ -41,6 +41,7 @@ def _tpu_kmeans(
         max_points_per_centroid=parameters.get("max_points_per_centroid", 256),
         round_sizes=parameters.get("round_sizes", False),
         row_scales=parameters.get("row_scales"),
+        rows=parameters.get("rows"),
     )
     return centroids, labels
 

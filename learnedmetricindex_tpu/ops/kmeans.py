@@ -156,8 +156,16 @@ def kmeans(
     round_sizes: bool = False,
     max_points_per_centroid: int = 256,
     row_scales=None,
+    rows=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Cluster ``data`` into ``n_clusters``; returns ``(centroids, labels)``.
+
+    ``rows``: optional row indices into a device-resident ``data`` —
+    cluster only those rows WITHOUT materializing ``data[rows]`` (the
+    per-node eager gather compiles a fresh program for every distinct
+    node size; at a 10-node level that was most of the level's
+    clustering wall-clock).  All gathers on this path run at a bounded
+    set of power-of-two shapes.
 
     Same callable contract as the reference ``ClusteringAlgorithm``
     (``clustering/__init__.py:9-12``) modulo the unused params dict: the
@@ -179,6 +187,16 @@ def kmeans(
     training subsample ever crosses to the host; assignment streams
     device-side slices.
     """
+    if rows is not None:
+        return _kmeans_rows(
+            data,
+            n_clusters,
+            np.asarray(rows),
+            n_iters=n_iters,
+            seed=seed,
+            max_points_per_centroid=max_points_per_centroid,
+            row_scales=row_scales,
+        )
     is_device = isinstance(data, jax.Array)
     n, d = data.shape
     assert n_clusters >= 1
@@ -335,3 +353,126 @@ def _assign_block(block, centroids, scales=None):
     )
     c2 = jnp.sum(centroids * centroids, axis=1)[None, :]
     return jnp.argmin(c2 - 2.0 * sims, axis=1).astype(jnp.int32)
+
+
+@jax.jit
+def _gather_rows_f32(data, idx, scales=None):
+    """Fused gather + dequantize: (T, d) f32 rows of ``data`` at
+    ``idx`` (fixed T per compiled program)."""
+    block = data[idx].astype(jnp.float32)
+    if scales is not None:
+        block = block * scales[idx][:, None]
+    return block
+
+
+@jax.jit
+def _assign_block_rows(data, idx, centroids, scales=None):
+    """Assign ``data[idx]`` to nearest centroids, gather + dequantize
+    fused in one program (fixed tile shape)."""
+    block = data[idx].astype(jnp.float32)
+    if scales is not None:
+        block = block * scales[idx][:, None]
+    sims = jnp.dot(
+        block,
+        centroids.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    c2 = jnp.sum(centroids * centroids, axis=1)[None, :]
+    return jnp.argmin(c2 - 2.0 * sims, axis=1).astype(jnp.int32)
+
+
+def _assign_tile_rows_size(n: int, d: int, data_nbytes: int) -> int:
+    """Power-of-two assignment tile for the rows path, clamped to free
+    HBM (shape reuse across nodes is the point — data-dependent tiles
+    would recompile per node)."""
+    tile = 1 << min(18, max(13, (max(n, 1) - 1).bit_length()))  # 8k..256k
+    free = device_free_bytes()
+    if free is None:
+        free = 15_000_000_000 - data_nbytes
+    while tile > 8192 and tile * d * 4 * 3 > free:
+        tile >>= 1
+    return tile
+
+
+def _kmeans_rows(
+    data,
+    n_clusters: int,
+    rows: np.ndarray,
+    *,
+    n_iters: int,
+    seed: int,
+    max_points_per_centroid: int,
+    row_scales,
+):
+    """Device-resident subset clustering by row indices (see ``kmeans``).
+
+    Semantics match the materialized-subset path exactly: the training
+    subsample draws the same local indices from the same seeded rng, and
+    padded slots are masked via ``n_valid`` rather than fed to Lloyd's.
+    """
+    assert isinstance(data, jax.Array)
+    d = data.shape[1]
+    n = rows.shape[0]
+    assert n_clusters >= 1
+    if n < 2:
+        first = np.asarray(
+            _gather_rows_f32(data, jnp.asarray(rows[:1].astype(np.int32)))
+        ) if n else np.zeros((0, d), np.float32)
+        return first, np.zeros(n, dtype=np.int32)
+    n_clusters = min(n_clusters, n)
+    scales_dev = None
+    if row_scales is not None:
+        scales_dev = (
+            row_scales
+            if isinstance(row_scales, jax.Array)
+            else jnp.asarray(np.asarray(row_scales, np.float32))
+        )
+
+    cap = max_points_per_centroid * n_clusters
+    rng = np.random.default_rng(seed)
+    subsampled = bool(max_points_per_centroid) and n > cap
+    if subsampled:
+        sample = np.sort(rng.choice(n, size=cap, replace=False))
+        train_idx = rows[sample]
+        n_train = cap
+    else:
+        train_idx = rows
+        n_train = n
+
+    # pad the training gather to the same power-of-two ladder as the
+    # round_sizes host path (bounded compiled-shape set)
+    target = 256
+    while target < n_train:
+        target *= 2
+    pad_idx = np.zeros(target, np.int32)
+    pad_idx[:n_train] = train_idx
+    subset = _gather_rows_f32(data, jnp.asarray(pad_idx), scales_dev)
+    sub_tile = int(min(65536, target))
+    centroids, labels_train = _kmeans_device(
+        subset,
+        jnp.int32(n_train),
+        jax.random.PRNGKey(seed),
+        n_clusters=n_clusters,
+        n_iters=n_iters,
+        tile_rows=sub_tile,
+    )
+    centroids_np = np.asarray(centroids)
+    if not subsampled:
+        return centroids_np, np.asarray(labels_train)[:n].astype(np.int32)
+
+    # assignment over all node rows, fixed power-of-two tiles
+    tile = _assign_tile_rows_size(n, d, data.nbytes)
+    centroids_dev = jnp.asarray(centroids_np)
+    label_blocks = []
+    for start in range(0, n, tile):
+        idx = rows[start : start + tile].astype(np.int32)
+        r = len(idx)
+        if r < tile:
+            idx = np.pad(idx, (0, tile - r))
+        lb = _assign_block_rows(
+            data, jnp.asarray(idx), centroids_dev, scales_dev
+        )
+        label_blocks.append(lb[:r])
+    labels = np.asarray(jnp.concatenate(label_blocks)).astype(np.int32)
+    return centroids_np, labels

@@ -58,3 +58,35 @@ def test_single_point():
     centroids, labels = kmeans(data, 5)
     # Reference guard: <2 points → single label 0 (builder:290-291).
     np.testing.assert_array_equal(labels, [0])
+
+
+def test_kmeans_rows_path_matches_materialized_subset():
+    # the rows path must give identical results to clustering the
+    # materialized data[rows] (same subsample rng, same padding masks)
+    import jax.numpy as jnp
+    from learnedmetricindex_tpu.ops.kmeans import kmeans
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(5000, 16)).astype(np.float32)
+    rows = np.sort(rng.choice(5000, size=3211, replace=False))
+    dev = jnp.asarray(data)
+    # subsampled regime (n > 256*k)
+    c1, l1 = kmeans(dev, 8, seed=7, rows=rows)
+    c2, l2 = kmeans(data[rows], 8, seed=7)
+    np.testing.assert_allclose(c1, c2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(l1, l2)
+    # small-node regime (n <= 256*k): trains on all rows
+    small = rows[:300]
+    c3, l3 = kmeans(dev, 4, seed=7, rows=small)
+    c4, l4 = kmeans(data[small], 4, seed=7, round_sizes=True)
+    np.testing.assert_allclose(c3, c4, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(l3, l4)
+    # int8 + scales
+    from learnedmetricindex_tpu.ops.quantize import quantize_rows
+
+    q, sc = quantize_rows(data / np.linalg.norm(data, axis=1, keepdims=True))
+    c5, l5 = kmeans(q, 8, seed=7, rows=rows, row_scales=sc)
+    deq = np.asarray(q, np.float32) * np.asarray(sc)[:, None]
+    c6, l6 = kmeans(deq[rows], 8, seed=7)
+    np.testing.assert_allclose(c5, c6, rtol=1e-4, atol=1e-5)
+    assert (l5 == l6).mean() > 0.999
