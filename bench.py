@@ -276,6 +276,7 @@ def main():
 
     log(f"devices: {jax.devices()}")
     import learnedmetricindex_tpu as lmi
+    from learnedmetricindex_tpu.index import bucket_store as _bucket_store_mod
     from learnedmetricindex_tpu.ops.knn import exact_knn, recall
 
     gen = RowGenerator(
@@ -342,15 +343,6 @@ def main():
     log("packing device store (regeneration, corpus freed) ...")
     t0 = time.perf_counter()
     store = pack_store_by_regen(index, pred, gen, args.n, args.chunk)
-    from learnedmetricindex_tpu.index.bucket_store import (
-        _pallas_engine_usable,
-    )
-
-    scan_engine = (
-        "pallas-fused"
-        if jax.default_backend() == "tpu" and _pallas_engine_usable(store, 128)
-        else "xla"
-    )
     log(f"  packed {store.nbytes()/1e9:.1f} GB in {time.perf_counter()-t0:.1f}s")
 
     approx = args.approx_recall if args.approx_recall > 0 else None
@@ -462,7 +454,9 @@ def main():
         "qps": round(args.queries / search_s, 1),
         "dtype": "int8",
         "store": "packed",
-        "engine": scan_engine,
+        # what the timed searches ACTUALLY ran (auto-mode may fall back
+        # at runtime, so a pre-search gate prediction can be wrong)
+        "engine": _bucket_store_mod.LAST_ENGINE,
         "recall_vs_visit": curve,
         "two_level": two,
     }

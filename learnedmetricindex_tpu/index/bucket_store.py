@@ -38,6 +38,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Which engine the most recent scan_buckets call actually ran
+# ("pallas-fused" | "xla" | "xla-virtual") — introspection for benches
+# and tests; auto-mode may fall back at runtime, so a prediction from
+# the gate alone can be wrong.
+LAST_ENGINE: str = "none"
+
+
 class BucketStore(NamedTuple):
     """Either *packed* (``chunk_data`` holds the vectors, padded) or
     *virtual* (``data_ref`` points at the unmoved original array and
@@ -801,6 +808,7 @@ def scan_buckets(
     qidx_dev = jnp.asarray(qidx)
     work_queries = _gather_work_queries(q_dev_all, qidx_dev)
 
+    global LAST_ENGINE
     use_pallas = engine == "pallas" or (
         engine == "auto" and jax.default_backend() == "tpu"
     )
@@ -863,8 +871,10 @@ def scan_buckets(
             )
             ran_pallas = False
     if ran_pallas:
+        LAST_ENGINE = "pallas-fused"
         return np.asarray(dists), np.asarray(ids).astype(np.uint32)
     elif store.chunk_data is not None:
+        LAST_ENGINE = "xla"
         cand_d, cand_i, cand_q = _scan_items(
             work_queries,
             qidx_dev,
@@ -877,6 +887,7 @@ def scan_buckets(
             **common,
         )
     else:
+        LAST_ENGINE = "xla-virtual"
         cand_d, cand_i, cand_q = _scan_items_virtual(
             work_queries,
             qidx_dev,

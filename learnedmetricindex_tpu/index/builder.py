@@ -184,6 +184,11 @@ class LearnedIndexBuilder(Logger):
                             "rows": rows_kw,
                         },
                     )
+                assert len(lab) == len(rows), (
+                    "clustering backend returned len(labels) != "
+                    "len(rows) — it must honor params['rows'] "
+                    "(ops/clustering.ClusteringAlgorithm contract)"
+                )
                 # Compact to a dense label range — the reference's
                 # ``len(np.unique(labels))`` shrink (builder:159-167)
                 # assumes labels are dense; guarantee it.

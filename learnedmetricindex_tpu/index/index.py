@@ -96,38 +96,24 @@ def _navigate_device(
     class masks were closure-captured constants — now traced arguments,
     so different builds share the compiled program."""
     from learnedmetricindex_tpu.index.navigation import (
-        INVALID,
         _best_first_device,
-        _joint_topk,
+        flatten_entry_probs_device,
+        joint_order_device,
+        single_level_order_device,
     )
 
-    Q = queries.shape[0]
     level_probs = [
         _masked_level_probs(p, m, queries)
         for p, m in zip(level_params, level_masks)
     ]
     if len(level_probs) == 1:
-        probs = jnp.where(
-            level_masks[0][0][None, :], level_probs[0][:, 0, :], INVALID
+        return single_level_order_device(
+            level_probs[0][:, 0, :], level_masks[0][0], cap
         )
-        return _joint_topk(probs, n_buckets=cap)
     if policy == "joint":
-        acc = None
-        for probs, valid in zip(level_probs, level_masks):
-            p = jnp.where(valid[None, :, :], probs, 0.0)
-            acc = (
-                p.reshape(Q, -1)
-                if acc is None
-                else (acc[:, :, None] * p).reshape(Q, -1)
-            )
-        acc = jnp.where(acc > 0.0, acc, INVALID)
-        return _joint_topk(acc, n_buckets=cap)
+        return joint_order_device(level_probs, level_masks, cap)
     # best_first: flatten per-level entries then replay the traversal
-    parts = [
-        jnp.where(valid[None, :, :], probs, INVALID).reshape(Q, -1)
-        for probs, valid in zip(level_probs, level_masks)
-    ]
-    entry_probs = jnp.concatenate(parts, axis=1)
+    entry_probs = flatten_entry_probs_device(level_probs, level_masks)
     return _best_first_device(
         entry_probs,
         child_base,

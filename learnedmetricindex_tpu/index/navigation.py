@@ -101,6 +101,21 @@ class TreeLayout(NamedTuple):
         )
 
 
+def flatten_entry_probs_device(
+    level_probs: List[jnp.ndarray], level_valid
+) -> jnp.ndarray:
+    """Traced core of :func:`flatten_entry_probs` (shared with the
+    single-dispatch ``index._navigate_device``): concatenate per-level
+    probabilities into (Q, E) entry scores, invalid entries at
+    :data:`INVALID`."""
+    Q = level_probs[0].shape[0]
+    parts = []
+    for probs, valid in zip(level_probs, level_valid):
+        p = jnp.where(jnp.asarray(valid)[None, :, :], probs, INVALID)
+        parts.append(p.reshape(Q, -1))
+    return jnp.concatenate(parts, axis=1)
+
+
 def flatten_entry_probs(
     layout: TreeLayout, level_probs: List[jnp.ndarray], level_valid: List[np.ndarray]
 ) -> jnp.ndarray:
@@ -111,12 +126,7 @@ def flatten_entry_probs(
     (False = class unused by that node after clustering shrink,
     cf. ``builder:161-167``); invalid entries score :data:`INVALID`.
     """
-    Q = level_probs[0].shape[0]
-    parts = []
-    for probs, valid in zip(level_probs, level_valid):
-        p = jnp.where(jnp.asarray(valid)[None, :, :], probs, INVALID)
-        parts.append(p.reshape(Q, -1))
-    flat = jnp.concatenate(parts, axis=1)
+    flat = flatten_entry_probs_device(level_probs, level_valid)
     assert flat.shape[1] == layout.n_entries
     return flat
 
@@ -220,14 +230,11 @@ def _joint_topk(leaf_probs: jnp.ndarray, *, n_buckets: int):
     return jnp.where(probs > INVALID + 0.5, ids, -1)
 
 
-def joint_order(
-    layout: TreeLayout,
-    level_probs: List[jnp.ndarray],
-    level_valid: List[np.ndarray],
-    n_buckets: int,
-) -> np.ndarray:
-    """Rank leaves by joint path probability ``∏ P(child|node)`` — the
-    principled TPU-fast policy (single ``top_k``, no traversal loop)."""
+def joint_order_device(
+    level_probs: List[jnp.ndarray], level_valid, cap: int
+) -> jnp.ndarray:
+    """Traced core of :func:`joint_order` (shared with
+    ``index._navigate_device``)."""
     Q = level_probs[0].shape[0]
     acc = None
     for probs, valid in zip(level_probs, level_valid):
@@ -238,9 +245,30 @@ def joint_order(
             acc = (acc[:, :, None] * p).reshape(Q, -1)
     # leaves with zero accumulated probability are unreachable
     acc = jnp.where(acc > 0.0, acc, INVALID)
+    return _joint_topk(acc, n_buckets=cap)
+
+
+def joint_order(
+    layout: TreeLayout,
+    level_probs: List[jnp.ndarray],
+    level_valid: List[np.ndarray],
+    n_buckets: int,
+) -> np.ndarray:
+    """Rank leaves by joint path probability ``∏ P(child|node)`` — the
+    principled TPU-fast policy (single ``top_k``, no traversal loop)."""
     n_buckets = min(n_buckets, layout.n_leaves)
     cap = _quantize_visits(n_buckets, layout.n_leaves)
-    return np.asarray(_joint_topk(acc, n_buckets=cap)[:, :n_buckets])
+    order = joint_order_device(level_probs, level_valid, cap)
+    return np.asarray(order[:, :n_buckets])
+
+
+def single_level_order_device(
+    root_probs: jnp.ndarray, valid, cap: int
+) -> jnp.ndarray:
+    """Traced core of :func:`topk_order_single_level` (shared with
+    ``index._navigate_device``)."""
+    probs = jnp.where(jnp.asarray(valid)[None, :], root_probs, INVALID)
+    return _joint_topk(probs, n_buckets=cap)
 
 
 def topk_order_single_level(
@@ -248,7 +276,7 @@ def topk_order_single_level(
 ) -> np.ndarray:
     """1-level navigation: top ``n_buckets`` classes of the root model
     (the reference's special case, ``LearnedIndex.py:209-214``)."""
-    probs = jnp.where(jnp.asarray(valid)[None, :], root_probs, INVALID)
-    n_buckets = min(n_buckets, probs.shape[1])
-    cap = _quantize_visits(n_buckets, probs.shape[1])
-    return np.asarray(_joint_topk(probs, n_buckets=cap)[:, :n_buckets])
+    n_buckets = min(n_buckets, root_probs.shape[1])
+    cap = _quantize_visits(n_buckets, root_probs.shape[1])
+    order = single_level_order_device(root_probs, valid, cap)
+    return np.asarray(order[:, :n_buckets])

@@ -22,6 +22,13 @@ import numpy as np
 
 from learnedmetricindex_tpu.ops.kmeans import kmeans
 
+#: Contract (reference parity + one extension): ``(data, n_clusters,
+#: params) → (clustering_object, labels)``.  ``params`` may carry a
+#: ``"rows"`` key — row indices into a device-resident ``data``; a
+#: backend honoring it must cluster ONLY those rows and return
+#: ``len(rows)`` labels (the builder passes the full corpus plus
+#: ``rows`` to avoid materializing per-node subsets).  A backend that
+#: cannot must raise rather than silently cluster all of ``data``.
 ClusteringAlgorithm = Callable[
     [np.ndarray, int, Optional[Dict[str, Any]]],
     Tuple[Any, np.ndarray],

@@ -188,6 +188,25 @@ def kmeans(
     device-side slices.
     """
     if rows is not None:
+        if not isinstance(data, jax.Array):
+            # host corpus: the rows path's device gathers would move
+            # the whole array tile by tile — materialize the subset
+            rows = np.asarray(rows)
+            sub_scales = (
+                None
+                if row_scales is None
+                else np.asarray(row_scales)[rows]
+            )
+            return kmeans(
+                np.asarray(data)[rows],
+                n_clusters,
+                n_iters=n_iters,
+                seed=seed,
+                tile_rows=tile_rows,
+                round_sizes=round_sizes,
+                max_points_per_centroid=max_points_per_centroid,
+                row_scales=sub_scales,
+            )
         return _kmeans_rows(
             data,
             n_clusters,
@@ -287,11 +306,7 @@ def kmeans_assign(centroids, data, tile_rows: int = 0, row_scales=None) -> np.nd
             # the corpus is HBM-resident: clamp the per-block f32
             # working set to what is actually left on the device (a
             # 17.5M int8 corpus leaves ~2 GB on a 16 GB chip)
-            free = device_free_bytes()
-            if free is None:
-                # runtime without memory stats (e.g. the axon PJRT
-                # plugin): assume a 16 GB chip minus the resident corpus
-                free = 15_000_000_000 - data.nbytes
+            free = device_free_bytes(fallback_resident_nbytes=data.nbytes)
             budget_rows = max(8192, int(free // 3) // (4 * max(d, 1)))
             tile_rows = min(tile_rows, budget_rows)
     centroids_dev = jnp.asarray(np.asarray(centroids), dtype=jnp.float32)
@@ -330,14 +345,21 @@ def kmeans_assign(centroids, data, tile_rows: int = 0, row_scales=None) -> np.nd
     return np.asarray(jnp.concatenate(label_blocks)).astype(np.int32)
 
 
-def device_free_bytes():
-    """Free HBM on the default device, or None if the runtime doesn't
-    expose memory stats (e.g. some PJRT plugins)."""
+def device_free_bytes(fallback_resident_nbytes=None):
+    """Free HBM on the default device.
+
+    Returns None if the runtime exposes no memory stats (e.g. the axon
+    PJRT plugin) and no fallback is given; with
+    ``fallback_resident_nbytes`` set, falls back to a 16 GB-chip
+    estimate minus those resident bytes (the single authority for this
+    heuristic — don't hand-roll it at call sites)."""
     try:
         stats = jax.local_devices()[0].memory_stats()
         return int(stats["bytes_limit"]) - int(stats["bytes_in_use"])
     except Exception:
-        return None
+        if fallback_resident_nbytes is None:
+            return None
+        return 15_000_000_000 - int(fallback_resident_nbytes)
 
 
 @jax.jit
@@ -387,9 +409,7 @@ def _assign_tile_rows_size(n: int, d: int, data_nbytes: int) -> int:
     HBM (shape reuse across nodes is the point — data-dependent tiles
     would recompile per node)."""
     tile = 1 << min(18, max(13, (max(n, 1) - 1).bit_length()))  # 8k..256k
-    free = device_free_bytes()
-    if free is None:
-        free = 15_000_000_000 - data_nbytes
+    free = device_free_bytes(fallback_resident_nbytes=data_nbytes)
     while tile > 8192 and tile * d * 4 * 3 > free:
         tile >>= 1
     return tile

@@ -256,13 +256,20 @@ def _run_sharded(
     Q = queries.shape[0]
     try:
         from jax import shard_map
-
-        # pallas_call's out_shapes carry no varying-mesh-axes metadata
-        sm_kwargs = {"check_vma": False}
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
+    # pallas_call's out_shapes carry no varying-mesh-axes metadata;
+    # probe the signature (the kwarg was renamed check_rep→check_vma
+    # independently of the import location)
+    import inspect
 
-        sm_kwargs = {"check_rep": False}  # pre-check_vma spelling
+    _sm_params = inspect.signature(shard_map).parameters
+    if "check_vma" in _sm_params:
+        sm_kwargs = {"check_vma": False}
+    elif "check_rep" in _sm_params:  # pragma: no cover - older jax
+        sm_kwargs = {"check_rep": False}
+    else:  # pragma: no cover
+        sm_kwargs = {}
 
     prec = (
         jax.lax.Precision.HIGHEST
