@@ -142,3 +142,30 @@ def test_two_level_device_resident_build(blobs):
         n_buckets=16, k=10,
     )
     assert recall(anns, gt, 10) > 0.98
+
+
+def test_three_level_build_and_search(blobs):
+    """3-level tree ([4,3,3] = 36 buckets): deep best-first navigation
+    + per-node training at two internal levels, full-visit == oracle."""
+    data, queries, gt = blobs
+    cfg = lmi.BuildConfiguration(
+        ["kmeans"] * 3, [30] * 3, ["MLP"] * 3, [0.01] * 3, [4, 3, 3],
+        seed=2023, chunk_size=256,
+    )
+    index, pred, n_buckets, _, _ = lmi.LearnedIndexBuilder(data, cfg).build()
+    assert pred.shape[1] == 3 and (pred >= 0).all()
+    _, anns, _ = index.search(
+        data, queries, data, queries, pred, cfg.n_categories,
+        n_buckets=n_buckets, k=10,
+    )
+    assert recall(anns, gt, 10) == 1.0
+    # partial visit through both policies agrees reasonably
+    _, a_bf, _ = index.search(
+        data, queries, data, queries, pred, cfg.n_categories,
+        n_buckets=6, k=10, policy="best_first",
+    )
+    _, a_j, _ = index.search(
+        data, queries, data, queries, pred, cfg.n_categories,
+        n_buckets=6, k=10, policy="joint",
+    )
+    assert recall(a_bf, gt, 10) > 0.5 and recall(a_j, gt, 10) > 0.5
