@@ -177,3 +177,38 @@ def test_plan_items_cover_all_pairs():
             for c in range(lo, hi):
                 assert seen.pop((q, c)) == 1
     assert not seen
+
+
+def test_scan_randomized_configs_match_oracle():
+    """Randomized shapes/chunks/k/visit patterns vs the exact oracle
+    (seeded; both engines)."""
+    import numpy as np
+    from learnedmetricindex_tpu.data import synthetic_blobs
+    from learnedmetricindex_tpu.index.bucket_store import (
+        BucketStore,
+        scan_buckets,
+    )
+    from learnedmetricindex_tpu.ops.knn import exact_knn, recall
+
+    rng = np.random.default_rng(123)
+    for trial in range(4):
+        n = int(rng.integers(150, 900))
+        d = int(rng.choice([8, 16, 24]))
+        nb = int(rng.integers(2, 9))
+        chunk = int(rng.choice([16, 48, 64]))
+        k = int(rng.integers(1, 14))
+        nq = int(rng.integers(5, 30))
+        data, queries = synthetic_blobs(n, d, nq, seed=trial)
+        bucket_ids = rng.integers(0, nb, size=n)
+        store = BucketStore.build(data, bucket_ids, nb, chunk=chunk)
+        order = np.tile(np.arange(nb, dtype=np.int64), (nq, 1))
+        for engine in ("xla", "pallas"):
+            dd, ii = scan_buckets(
+                store, queries, order, k=k, engine=engine, qtile=8
+            )
+            ref_d, ref_i = exact_knn(data, queries, k=min(k, n))
+            np.testing.assert_allclose(
+                dd[:, : ref_d.shape[1]], ref_d, rtol=1e-4, atol=1e-5,
+                err_msg=f"trial={trial} engine={engine}",
+            )
+            assert recall(ii[:, : ref_i.shape[1]], ref_i, ref_i.shape[1]) == 1.0
