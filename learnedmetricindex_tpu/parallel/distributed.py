@@ -72,6 +72,12 @@ def sharded_kmeans(
     row_sharding = NamedSharding(mesh, P(("data", "model"), None))
     label_sharding = NamedSharding(mesh, P(("data", "model")))
     repl = NamedSharding(mesh, P())
+    # multi-process mesh: labels must come back replicated, or the
+    # np.asarray below would touch non-addressable shards (each process
+    # holds only its own); single-process keeps them sharded (cheaper)
+    multiproc = len({d.process_index for d in mesh.devices.flat}) > 1
+    if multiproc:
+        label_sharding = repl
 
     data_dev = jax.device_put(data, row_sharding)
     scales_dev = (

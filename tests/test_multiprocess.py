@@ -43,6 +43,26 @@ WORKER = textwrap.dedent(
     total = jax.jit(lambda a: a.sum())(glob)
     # rows: 8*1 + 8*2 = 24 per column, 4 columns
     np.testing.assert_allclose(float(total), 96.0)
+
+    # distributed k-means over the global mesh: each process feeds only
+    # its local blobs; psum centroid reduction crosses process boundaries
+    from learnedmetricindex_tpu.parallel.distributed import sharded_kmeans
+
+    rngd = np.random.default_rng(41)
+    centers = rngd.normal(size=(4, 4)).astype(np.float32) * 10.0
+    local_pts = np.concatenate([
+        centers[pid * 2 + g] + 0.05 * rngd.normal(size=(16, 4))
+        for g in range(2)
+    ]).astype(np.float32)
+    gpts = mp.from_process_local(local_pts, mesh, P(("data", "model"), None))
+    cents, labels = sharded_kmeans(gpts, 4, mesh, n_iters=10, seed=3)
+    assert labels.shape == (64,), labels.shape
+    assert len(set(labels.tolist())) == 4, labels
+    # the 4 blobs are well separated: every blob maps to one cluster
+    for b in range(4):
+        blk = labels[b * 16:(b + 1) * 16]
+        assert len(set(blk.tolist())) == 1, (b, blk)
+    print("proc", pid, "kmeans-ok sum", round(float(np.abs(cents).sum()), 2), flush=True)
     print(f"proc {{pid}} OK", flush=True)
     """
 )
