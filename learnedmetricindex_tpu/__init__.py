@@ -56,9 +56,9 @@ def enable_compilation_cache(path: str = "/tmp/lmi-jax-cache") -> bool:
     otherwise dominate wall-clock on remote-compile TPU runtimes —
     the scan's sort-merge alone compiles for minutes.  Returns False
     if the running jax build does not support it."""
-    import jax
-
     try:
+        import jax
+
         jax.config.update("jax_compilation_cache_dir", path)
         # 0: persist even sub-second programs — navigation alone spans
         # ~38 small programs of ~0.4 s each through the remote compile

@@ -48,17 +48,32 @@ def dataset_urls(kind: str, size: str) -> dict:
     }
 
 
-def prepare(kind: str, size: str, data_dir: str = "data") -> Tuple[str, str]:
-    """Download the dataset + queries if missing; return their paths
-    (cf. ``search/search.py:38-48``).  Raises if download fails and the
-    files do not already exist (offline environments must pre-stage)."""
-    from urllib.request import urlretrieve
+def prepare(
+    kind: str, size: str, data_dir: str = "data", download: bool = True
+) -> Tuple[str, str]:
+    """Return paths to the dataset + query HDF5 files, downloading only
+    what is missing (cf. ``search/search.py:38-48``).
 
+    **Pre-staged files are used as-is, without touching the network**:
+    place them at ``<data_dir>/<kind>/<size>/dataset.h5`` and
+    ``<data_dir>/<kind>/<size>/query.h5`` (e.g. copied from a
+    network-enabled host) and this function returns immediately.  With
+    ``download=False`` a missing file raises a ``FileNotFoundError``
+    naming the expected path and source URL instead of attempting a
+    download — the explicit offline mode.
+    """
     urls = dataset_urls(kind, size)
     paths = {}
     for version, url in urls.items():
         target = os.path.join(data_dir, kind, size, f"{version}.h5")
         if not os.path.exists(target):
+            if not download:
+                raise FileNotFoundError(
+                    f"{target} is not staged and download=False; stage "
+                    f"the file there (source: {url}) to run offline"
+                )
+            from urllib.request import urlretrieve
+
             Path(target).parent.mkdir(parents=True, exist_ok=True)
             urlretrieve(url, target)
         assert os.path.exists(target), f"Failed to download {url}"
@@ -79,10 +94,14 @@ def load_dataset(
     data_dir: str = "data",
     key: Optional[str] = None,
     preprocess: bool = True,
+    download: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Load (data, queries) for a SISAP kind/size, normalizing if asked."""
+    """Load (data, queries) for a SISAP kind/size, normalizing if asked.
+
+    ``download=False`` requires the files to be pre-staged (see
+    :func:`prepare`) — the offline path for real-data benchmarks."""
     key = key or KIND_TO_KEY.get(kind, kind)
-    dataset_path, query_path = prepare(kind, size, data_dir)
+    dataset_path, query_path = prepare(kind, size, data_dir, download=download)
     data = load_h5(dataset_path, key)
     queries = load_h5(query_path, key)
     if preprocess:

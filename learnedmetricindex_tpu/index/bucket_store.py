@@ -131,6 +131,69 @@ class BucketStore(NamedTuple):
         )
 
     @classmethod
+    def build_packed_int8(
+        cls,
+        data: np.ndarray,
+        bucket_ids: np.ndarray,
+        n_buckets: int,
+        chunk: int = 2048,
+        object_ids: Optional[np.ndarray] = None,
+    ) -> "BucketStore":
+        """Packed store with symmetric per-row int8 quantization done
+        **host-side** (``q = round(x / scale)``, ``scale = max|x| / 127``
+        — the ``ops/quantize.py`` semantics): the device receives only
+        the final int8 slabs + per-slot f32 scales, so peak HBM is the
+        store itself; the f32 corpus never touches the device.  This is
+        the staged-real-data path (``bench.py --dataset``) where the
+        corpus arrives as host HDF5 rather than device-generated rows.
+        """
+        data = np.asarray(data, dtype=np.float32)
+        bucket_ids = np.asarray(bucket_ids)
+        n, d = data.shape
+        if object_ids is None:
+            object_ids = np.arange(1, n + 1, dtype=np.int32)
+        else:
+            object_ids = np.asarray(object_ids, dtype=np.int32)
+
+        from learnedmetricindex_tpu import native
+
+        counts = native.bincount(bucket_ids, n_buckets)
+        nchunks = -(-counts // chunk)
+        starts = np.concatenate([[0], np.cumsum(nchunks)]).astype(np.int32)
+        total_chunks = int(starts[-1])
+        padded = total_chunks * chunk
+        slot_rows, _ = native.fill_slots(
+            bucket_ids, starts.astype(np.int64) * chunk, padded
+        )
+        valid = slot_rows >= 0
+
+        row_scales = np.maximum(np.abs(data).max(axis=1), 1e-12) / 127.0
+        flat = np.zeros((padded, d), dtype=np.int8)
+        src = data[slot_rows[valid]]
+        flat[valid] = np.clip(
+            np.round(src / row_scales[slot_rows[valid]][:, None]), -127, 127
+        ).astype(np.int8)
+        slot_scales = np.zeros(padded, dtype=np.float32)
+        slot_scales[valid] = row_scales[slot_rows[valid]]
+        ids = np.zeros(padded, dtype=np.int32)
+        ids[valid] = object_ids[slot_rows[valid]]
+
+        max_id = int(object_ids.max()) if len(object_ids) else 0
+        row_slot = np.zeros(max_id, dtype=np.int32)
+        row_slot[ids[valid] - 1] = np.nonzero(valid)[0].astype(np.int32)
+
+        return cls(
+            chunk_data=jnp.asarray(flat),
+            chunk_ids=jnp.asarray(ids.reshape(total_chunks, chunk)),
+            chunk_scales=jnp.asarray(slot_scales),
+            bucket_chunk_start=starts,
+            bucket_sizes=counts.astype(np.int32),
+            chunk=chunk,
+            n_buckets=n_buckets,
+            row_slot=jnp.asarray(row_slot),
+        )
+
+    @classmethod
     def build_virtual(
         cls,
         data_ref: jnp.ndarray,

@@ -184,11 +184,18 @@ class LearnedIndexBuilder(Logger):
                             "rows": rows_kw,
                         },
                     )
-                assert len(lab) == len(rows), (
-                    "clustering backend returned len(labels) != "
-                    "len(rows) — it must honor params['rows'] "
-                    "(ops/clustering.ClusteringAlgorithm contract)"
-                )
+                if len(lab) != len(rows):
+                    # explicit raise (not assert): silently mis-sized
+                    # labels under ``python -O`` would corrupt
+                    # labels_full for every row of this node
+                    raise ValueError(
+                        "clustering backend returned "
+                        f"{len(lab)} labels for {len(rows)} rows — a "
+                        "backend given a device corpus must honor "
+                        "params['rows'] (cluster only those row "
+                        "indices) or raise; see the ``rows`` extension "
+                        "in ops/clustering.ClusteringAlgorithm"
+                    )
                 # Compact to a dense label range — the reference's
                 # ``len(np.unique(labels))`` shrink (builder:159-167)
                 # assumes labels are dense; guarantee it.

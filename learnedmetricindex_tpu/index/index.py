@@ -345,9 +345,17 @@ class LearnedIndex(Logger):
         else:
             q = jnp.asarray(np.asarray(queries_navigation, dtype=np.float32))
 
-        from learnedmetricindex_tpu.index.navigation import _quantize_visits
+        from learnedmetricindex_tpu.index.navigation import (
+            _quantize_visits,
+            check_best_first_budget,
+        )
 
         layout = self.layout
+        if policy == "best_first" and len(self.levels) > 1:
+            # wide-tree guard: the traversal state is (Q, E); fail
+            # loudly instead of allocating gigabytes (policy="joint"
+            # has no traversal state)
+            check_best_first_budget(q.shape[0], layout.n_entries)
         n_leaves = layout.n_leaves
         n_buckets = min(n_buckets, n_leaves)
         cap = _quantize_visits(n_buckets, n_leaves)
@@ -433,17 +441,21 @@ class LearnedIndex(Logger):
         )
 
         if isinstance(store, ShardedStore):
-            # multi-chip path: per-device local scans + ICI top-k merge.
-            # Always full-precision: the sharded path has no rerank
-            # stage, so a bf16 bulk pass would leak ±2e-3 noise into
-            # the final ranking.
+            # multi-chip path: per-device local scans + ICI top-k merge,
+            # with the same two-stage fast path as single-chip — each
+            # shard reranks its own shortlist at exact HIGHEST precision
+            # before the all-gather, so per-chip cost matches the
+            # single-chip fast path (precision="highest" opts into the
+            # strict all-f32 bulk scan, as on one chip).
             dists, anns = sharded_search(
                 store,
                 np.asarray(q_search, dtype=np.float32),
                 order,
                 k=k,
                 qtile=min(qtile, 32),
-                precision="highest",
+                precision=precision,
+                rerank=rerank,
+                rerank_margin=rerank_margin,
             )
             t_scan = time.perf_counter() - s_scan
             measured["search_within_buckets"] = t_scan

@@ -193,6 +193,37 @@ def _best_first_device(
     return order
 
 
+#: Default ceiling on the best-first state machine (bytes of per-query
+#: entry state).  The traversal carries (Q, E) f32 probabilities + (Q, E)
+#: uint8 status and pops ONE entry per while-loop iteration, so a wide
+#: tree (E = ∏ n_categories entries) at a large query batch is both a
+#: silent multi-GB allocation and a serially-popping loop.  Override via
+#: the ``LMI_MAX_NAV_STATE_BYTES`` environment variable.
+MAX_NAV_STATE_BYTES = 1 << 30
+
+
+def check_best_first_budget(n_queries: int, n_entries: int) -> None:
+    """Fail loudly when the best-first state machine would exceed the
+    configured budget (see :data:`MAX_NAV_STATE_BYTES`) instead of
+    silently allocating it.  ``policy="joint"`` (one joint-probability
+    ``top_k``, no traversal state) handles arbitrarily wide trees;
+    splitting the query batch is the other way out."""
+    import os
+
+    budget = int(
+        os.environ.get("LMI_MAX_NAV_STATE_BYTES", MAX_NAV_STATE_BYTES)
+    )
+    state_bytes = n_queries * n_entries * 5  # f32 probs + uint8 status
+    if state_bytes > budget:
+        raise ValueError(
+            f"best-first navigation state would be {state_bytes/1e9:.2f} "
+            f"GB ({n_queries} queries x {n_entries} tree entries) — over "
+            f"the {budget/1e9:.2f} GB budget. Use policy='joint' (exact "
+            "for joint-probability ranking, no traversal state), search "
+            "in smaller query batches, or raise LMI_MAX_NAV_STATE_BYTES."
+        )
+
+
 def _quantize_visits(n_buckets: int, n_leaves: int) -> int:
     """Round the compiled emit capacity up to a power of two so
     sweeping ``n_buckets`` (the reference's ``--buckets-perc`` sweep)
@@ -210,6 +241,7 @@ def best_first_order(
 ) -> np.ndarray:
     """Reference-parity best-first visit order → (Q, n_buckets) global
     bucket ids (-1 where a query ran out of reachable buckets)."""
+    check_best_first_budget(entry_probs.shape[0], layout.n_entries)
     n_buckets = min(n_buckets, layout.n_leaves)
     cap = _quantize_visits(n_buckets, layout.n_leaves)
     order = _best_first_device(

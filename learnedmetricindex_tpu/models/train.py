@@ -295,10 +295,16 @@ class StackedNodeTrainer(Logger):
     def _place_model_tree(self, tree):
         """Shard every model-stacked leaf over the ``"model"`` axis
         (leaves without the leading model axis — e.g. Adam's step
-        counter — are replicated)."""
+        counter — are replicated).  On a multi-process mesh the leaves
+        go through ``put_global`` (identical host values on every
+        process — params are seeded identically), since ``device_put``
+        cannot target non-addressable devices."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from learnedmetricindex_tpu.parallel import multiprocess as mp
+
         model_axis = self.mesh.shape["model"]
+        multi = mp.is_multiprocess(self.mesh)
 
         def put(leaf):
             if (
@@ -307,10 +313,14 @@ class StackedNodeTrainer(Logger):
                 and leaf.shape[0] == self.n_models
                 and self.n_models % model_axis == 0
             ):
+                if multi:
+                    return mp.put_global(np.asarray(leaf), self.mesh, P("model"))
                 return jax.device_put(leaf, NamedSharding(self.mesh, P("model")))
             if hasattr(leaf, "ndim"):
                 # few models (e.g. the level-0 root): replicate; the
                 # batch axis still parallelizes over "data"
+                if multi:
+                    return mp.put_global(np.asarray(leaf), self.mesh, P())
                 return jax.device_put(leaf, NamedSharding(self.mesh, P()))
             return leaf
 

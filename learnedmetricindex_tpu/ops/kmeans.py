@@ -350,16 +350,22 @@ def device_free_bytes(fallback_resident_nbytes=None):
 
     Returns None if the runtime exposes no memory stats (e.g. the axon
     PJRT plugin) and no fallback is given; with
-    ``fallback_resident_nbytes`` set, falls back to a 16 GB-chip
+    ``fallback_resident_nbytes`` set, falls back to an HBM-size
     estimate minus those resident bytes (the single authority for this
-    heuristic — don't hand-roll it at call sites)."""
+    heuristic — don't hand-roll it at call sites).  The estimate
+    defaults to a 16 GB v5e chip (minus runtime reserve); on devices
+    with smaller HBM behind stats-less runtimes, set ``LMI_HBM_BYTES``
+    to the chip's usable HBM in bytes."""
+    import os
+
     try:
         stats = jax.local_devices()[0].memory_stats()
         return int(stats["bytes_limit"]) - int(stats["bytes_in_use"])
     except Exception:
         if fallback_resident_nbytes is None:
             return None
-        return 15_000_000_000 - int(fallback_resident_nbytes)
+        total = int(os.environ.get("LMI_HBM_BYTES", 15_000_000_000))
+        return total - int(fallback_resident_nbytes)
 
 
 @jax.jit

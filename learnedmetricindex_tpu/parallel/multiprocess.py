@@ -104,3 +104,70 @@ def from_process_local(local_rows: np.ndarray, mesh, spec):
     return jax.make_array_from_process_local_data(
         NamedSharding(mesh, spec), np.asarray(local_rows)
     )
+
+
+def is_multiprocess(mesh) -> bool:
+    """True when ``mesh`` spans devices of more than one process."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
+def put_global(host_array, mesh, spec):
+    """Place a host array that is **identical on every process** as one
+    globally-sharded ``jax.Array`` over a (possibly multi-process) mesh.
+
+    Single-process this is plain ``jax.device_put``.  Multi-process,
+    each process uploads only the index slices its local devices own
+    (``Sharding.addressable_devices_indices_map``) and the global view
+    is assembled with ``make_array_from_single_device_arrays`` — no
+    process ever needs to address a remote device.  This is how
+    replicated metadata (scan plans, slot maps, class masks, query
+    batches) reaches a pod: every process computes the same host arrays
+    deterministically and contributes its local shards.
+    """
+    import jax
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    arr = np.asarray(host_array)
+    if sharding.is_fully_addressable:
+        return jax.device_put(arr, sharding)
+    shards = [
+        jax.device_put(arr[idx], dev)
+        for dev, idx in sharding.addressable_devices_indices_map(
+            arr.shape
+        ).items()
+    ]
+    return jax.make_array_from_single_device_arrays(
+        arr.shape, sharding, shards
+    )
+
+
+def to_host_replicated(arr) -> np.ndarray:
+    """Bring a (possibly non-fully-addressable) ``jax.Array`` to the
+    host on EVERY process.  Fully-addressable and fully-replicated
+    arrays convert directly; otherwise one ``process_allgather``
+    assembles the global value."""
+    import jax
+
+    if (
+        not isinstance(arr, jax.Array)
+        or arr.is_fully_addressable
+        or arr.is_fully_replicated
+    ):
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
+def reshard(arr, mesh, spec):
+    """Reshard a global ``jax.Array`` to ``spec`` over ``mesh`` via a
+    jitted identity (``jax.jit`` inserts the collectives; works across
+    processes, unlike ``device_put`` of non-addressable targets)."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    target = NamedSharding(mesh, spec)
+    if isinstance(arr, jax.Array) and arr.sharding == target:
+        return arr
+    return jax.jit(lambda a: a, out_shardings=target)(arr)

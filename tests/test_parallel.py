@@ -50,75 +50,49 @@ def test_sharded_kmeans_matches_quality():
     assert inertia(labels) <= inertia(labels_single) * 1.2
 
 
-def test_sharded_build_step_runs_and_matches_shapes():
-    import optax
-
-    from learnedmetricindex_tpu.models.mlp import init_stacked_mlp
-    from learnedmetricindex_tpu.parallel.distributed import make_sharded_build_step
+def test_stacked_trainer_mesh_expert_parallel():
+    """The public expert-parallel build path: StackedNodeTrainer(mesh=)
+    trains sibling node models with the model axis sharded over
+    "model" and corpus rows over the mesh, matching the no-mesh
+    trainer's coverage semantics (the legacy make_sharded_build_step
+    single-step helper was folded into this engine)."""
+    from jax.sharding import NamedSharding
+    from learnedmetricindex_tpu.models.train import (
+        StackedNodeTrainer,
+        group_rows,
+    )
 
     mesh = create_mesh(8)
-    n_models, batch, d, C = 4, 16, 12, 5
-    params = init_stacked_mlp(jax.random.PRNGKey(0), n_models, "MLP-8", d, C)
-    opt_state = optax.adam(0.01).init(params)
     rng = np.random.default_rng(0)
-    xb = rng.normal(size=(n_models, batch, d)).astype(np.float32)
-    yb = rng.integers(0, C, size=(n_models, batch)).astype(np.int32)
-    mask = np.ones((n_models, C), bool)
-    active = np.ones(n_models, np.float32)
-
-    step_fn, shard_fn = make_sharded_build_step(mesh, 0.01)
-    args = shard_fn(params, opt_state, xb, yb, mask, active)
-    p2, s2, losses = step_fn(*args)
-    assert losses.shape == (n_models,)
-    assert np.isfinite(np.asarray(losses)).all()
-    # params actually changed
-    w_before = np.asarray(params[0]["w"])
-    w_after = np.asarray(p2[0]["w"])
-    assert not np.allclose(w_before, w_after)
-
-    # frozen model: active=0 keeps its params
-    active0 = active.copy()
-    active0[2] = 0.0
-    args = shard_fn(params, opt_state, xb, yb, mask, active0)
-    p3, _, _ = step_fn(*args)
-    np.testing.assert_array_equal(
-        np.asarray(p3[0]["w"])[2], np.asarray(params[0]["w"])[2]
+    n_models, C, d, n = 4, 3, 12, 4096
+    group_ids = rng.integers(0, n_models, size=n)
+    # well-separated per-(model, class) blobs so coverage converges
+    centers = rng.normal(size=(n_models, C, d)).astype(np.float32) * 4
+    labels = rng.integers(0, C, size=n)
+    data = (
+        centers[group_ids, labels]
+        + 0.1 * rng.normal(size=(n, d)).astype(np.float32)
     )
-    assert not np.allclose(np.asarray(p3[0]["w"])[1], np.asarray(params[0]["w"])[1])
 
-
-def test_sharded_scan_matches_single_device():
-    from learnedmetricindex_tpu.index.bucket_store import (
-        BucketStore,
-        build_scan_plan,
-        scan_buckets,
+    grouped = group_rows(data, group_ids, n_models, labels=labels, tile=512)
+    trainer = StackedNodeTrainer(
+        n_models, d, C, model_type="MLP-8", lr=0.05, batch_size=128,
+        seed=0, mesh=mesh,
     )
-    from learnedmetricindex_tpu.parallel.distributed import make_sharded_scan
+    # params placed with the model axis sharded over "model"
+    w = trainer.params[0]["w"]
+    assert isinstance(w.sharding, NamedSharding)
+    assert w.sharding.spec[0] == "model"
 
-    mesh = create_mesh(8)
-    data, queries = synthetic_blobs(800, 16, 40, seed=4)
-    rng = np.random.default_rng(0)
-    bucket_ids = rng.integers(0, 6, size=800)
-    store = BucketStore.build(data, bucket_ids, 6, chunk=64)
-    order = np.tile(np.arange(6, dtype=np.int64), (40, 1))
-
-    ref_d, ref_i = scan_buckets(store, queries, order, k=7)
-
-    qtile, k = 8, 7
-    plan = build_scan_plan(store, order, qtile=qtile)
-    W = len(plan.item_chunk)
-    Wp = -(-W // 8) * 8
-    iq = np.zeros(Wp, np.int32); iq[:W] = plan.item_q_start
-    ic = np.zeros(Wp, np.int32); ic[:W] = plan.item_chunk
-    iv = np.zeros(Wp, bool); iv[:W] = True
-
-    scan_fn, place = make_sharded_scan(mesh, k=k, qtile=qtile)
-    placed = place(queries.astype(np.float32), plan.qidx, iq, ic, iv)
-    out_d, out_i = scan_fn(*placed, store.chunk_data, store.chunk_ids,
-                           n_queries=plan.n_queries)
-    np.testing.assert_allclose(np.asarray(out_d), ref_d, rtol=1e-4, atol=1e-5)
-    # id sets agree (ties may permute within equal distances)
-    assert (np.asarray(out_i) == ref_i.astype(np.int32)).mean() > 0.99
+    preds_slots, rounds = trainer.fit(grouped, epochs=3)
+    assert rounds >= 1
+    preds = grouped.scatter_to_rows(preds_slots.astype(np.int64), n, fill=-1)
+    # coverage criterion held per model: every class predicted somewhere
+    for m in range(n_models):
+        assert set(preds[group_ids == m]) == set(range(C))
+    # trained models actually separate the blobs
+    acc = (preds == labels).mean()
+    assert acc > 0.9, acc
 
 
 def test_graft_entry_points():

@@ -156,3 +156,49 @@ def test_sharded_store_from_device_corpus(setup):
     d2, i2 = sharded_search(sharded_host, queries, order, k=8)
     np.testing.assert_allclose(d1, d2, rtol=1e-6)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_sharded_rerank_default_precision_matches_oracle(setup):
+    """The two-stage sharded fast path (bf16 bulk + per-shard exact
+    rerank) matches the exact oracle at full visit — per-chip cost of
+    the single-chip fast path, exact final ranking (VERDICT r2 #3)."""
+    data, queries, bucket_ids, mesh, sharded = setup
+    order = np.tile(np.arange(13, dtype=np.int64), (50, 1))
+    dists, ids = sharded_search(
+        sharded, queries, order, k=10, precision="default", rerank=True,
+        rerank_margin=6,
+    )
+    ref_d, ref_i = exact_knn(data, queries, k=10)
+    assert recall(ids, ref_i, 10) == 1.0
+    # reranked distances are exact f32, not bf16-noisy
+    np.testing.assert_allclose(dists, ref_d, rtol=1e-5, atol=1e-6)
+
+    # same through the public index.search knobs on both engines
+    pd, pi = sharded_search(
+        sharded, queries, order, k=10, precision="default", rerank=True,
+        engine="pallas",
+    )
+    assert recall(pi, ref_i, 10) == 1.0
+    np.testing.assert_allclose(pd, ref_d, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_rerank_int8_matches_dequantized_oracle():
+    data, queries = synthetic_blobs(2048, 16, 30, n_clusters=10, seed=9)
+    n_buckets, chunk = 16, 32
+    bucket_ids = np.arange(2048) % n_buckets
+    mesh = create_mesh(8)
+    from learnedmetricindex_tpu.ops.quantize import quantize_rows
+
+    q_data, row_scales = quantize_rows(data)
+    sharded = shard_store(
+        np.asarray(q_data), bucket_ids, n_buckets, mesh, chunk=chunk,
+        row_scales=np.asarray(row_scales),
+    )
+    deq = np.asarray(q_data, np.float32) * np.asarray(row_scales)[:, None]
+    order = np.tile(np.arange(n_buckets, dtype=np.int64), (30, 1))
+    dists, ids = sharded_search(
+        sharded, queries, order, k=10, precision="default", rerank=True,
+    )
+    ref_d, ref_i = exact_knn(deq, queries, k=10)
+    assert recall(ids, ref_i, 10) >= 0.999
+    np.testing.assert_allclose(dists, ref_d, rtol=1e-5, atol=1e-6)
