@@ -340,10 +340,37 @@ class LearnedIndex(Logger):
         s = time.perf_counter()
         if policy not in ("best_first", "joint"):
             raise ValueError(f"Unknown navigation policy: {policy}")
-        if isinstance(queries_navigation, jax.Array):
+        # multi-process index (params span processes): queries and the
+        # layout constants must be placed as replicated global arrays
+        leaf0 = jax.tree.leaves(self.levels[0].params)[0]
+        multi = isinstance(leaf0, jax.Array) and not leaf0.is_fully_addressable
+        if multi:
+            from jax.sharding import PartitionSpec as P
+
+            from learnedmetricindex_tpu.parallel import multiprocess as mp
+
+            mesh = leaf0.sharding.mesh
+
+            def _repl(a):
+                return mp.put_global(np.asarray(a), mesh, P())
+        else:
+            def _repl(a):
+                return jnp.asarray(a)
+        if isinstance(queries_navigation, jax.Array) and not multi:
             q = queries_navigation.astype(jnp.float32)
         else:
-            q = jnp.asarray(np.asarray(queries_navigation, dtype=np.float32))
+            from learnedmetricindex_tpu.parallel.multiprocess import (
+                to_host_replicated,
+            )
+
+            q = _repl(
+                np.asarray(
+                    to_host_replicated(queries_navigation)
+                    if isinstance(queries_navigation, jax.Array)
+                    else queries_navigation,
+                    dtype=np.float32,
+                )
+            )
 
         from learnedmetricindex_tpu.index.navigation import (
             _quantize_visits,
@@ -362,15 +389,25 @@ class LearnedIndex(Logger):
         order = _navigate_device(
             q,
             tuple(level.params for level in self.levels),
-            tuple(jnp.asarray(level.class_mask) for level in self.levels),
-            jnp.asarray(layout.child_base),
-            jnp.asarray(layout.child_count),
-            jnp.asarray(layout.is_leaf),
-            jnp.int32(layout.offsets[1]),
+            tuple(_repl(level.class_mask) for level in self.levels),
+            _repl(layout.child_base),
+            _repl(layout.child_count),
+            _repl(layout.is_leaf),
+            _repl(np.int32(layout.offsets[1])) if multi
+            else jnp.int32(layout.offsets[1]),
             cap=cap,
             policy=policy,
             layout_key=layout.offsets,
         )
+        if multi:
+            from learnedmetricindex_tpu.parallel.multiprocess import (
+                to_host_replicated,
+            )
+
+            return (
+                to_host_replicated(order)[:, :n_buckets],
+                time.perf_counter() - s,
+            )
         return np.asarray(order[:, :n_buckets]), time.perf_counter() - s
 
     def search(

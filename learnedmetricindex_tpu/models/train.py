@@ -328,30 +328,69 @@ class StackedNodeTrainer(Logger):
 
     def _place_grouped(self, grouped: GroupedData) -> GroupedData:
         """Shard the corpus rows over the whole mesh; the index arrays
-        (slot maps, labels — 4 bytes/row) are replicated."""
+        (slot maps, labels — 4 bytes/row) are replicated.
+
+        Multi-process: the corpus must arrive as a global ``jax.Array``
+        (e.g. via ``multiprocess.from_process_local``) — it is resharded
+        in place with a jitted identity; a process-local corpus is
+        replicated host-side (small cases only).  Index arrays are
+        identical on every process and go through ``put_global``.
+        """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        rows = NamedSharding(self.mesh, P(("data", "model"), None))
-        rows1 = NamedSharding(self.mesh, P(("data", "model")))
-        repl = NamedSharding(self.mesh, P())
-        # pad rows to a mesh multiple (device_put needs even shards);
-        # slot indices never reach the pad rows
+        from learnedmetricindex_tpu.parallel import multiprocess as mp
+
+        mesh = self.mesh
         n = grouped.x.shape[0]
-        pad = (-n) % self.mesh.devices.size
-        x = jnp.pad(jnp.asarray(grouped.x), ((0, pad), (0, 0))) if pad else grouped.x
-        x_scales = grouped.x_scales
-        if x_scales is not None and pad:
-            x_scales = jnp.pad(jnp.asarray(x_scales), (0, pad))
+        pad = (-n) % mesh.devices.size
+        if not mp.is_multiprocess(mesh):
+            rows = NamedSharding(mesh, P(("data", "model"), None))
+            rows1 = NamedSharding(mesh, P(("data", "model")))
+            repl = NamedSharding(mesh, P())
+            x = jnp.pad(jnp.asarray(grouped.x), ((0, pad), (0, 0))) if pad else grouped.x
+            x_scales = grouped.x_scales
+            if x_scales is not None and pad:
+                x_scales = jnp.pad(jnp.asarray(x_scales), (0, pad))
+            return grouped._replace(
+                x=jax.device_put(x, rows),
+                x_scales=(
+                    None if x_scales is None else jax.device_put(x_scales, rows1)
+                ),
+                slot_rows=jax.device_put(grouped.slot_rows, repl),
+                labels=jax.device_put(grouped.labels, repl),
+                tile_model=jax.device_put(grouped.tile_model, repl),
+                seg_starts=jax.device_put(grouped.seg_starts, repl),
+                seg_lens=jax.device_put(grouped.seg_lens, repl),
+            )
+
+        def rows_global(a, spec):
+            if a is None:
+                return None
+            if isinstance(a, jax.Array) and (
+                not a.is_fully_addressable or len(a.sharding.device_set) > 1
+            ):
+                target = NamedSharding(mesh, spec)
+                widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+                return jax.jit(
+                    lambda t: jnp.pad(t, widths) if pad else t,
+                    out_shardings=target,
+                )(a)
+            h = np.asarray(a)
+            if pad:
+                h = np.pad(h, ((0, pad),) + ((0, 0),) * (h.ndim - 1))
+            return mp.put_global(h, mesh, spec)
+
+        def repl_global(a):
+            return mp.put_global(np.asarray(a), mesh, P())
+
         return grouped._replace(
-            x=jax.device_put(x, rows),
-            x_scales=(
-                None if x_scales is None else jax.device_put(x_scales, rows1)
-            ),
-            slot_rows=jax.device_put(grouped.slot_rows, repl),
-            labels=jax.device_put(grouped.labels, repl),
-            tile_model=jax.device_put(grouped.tile_model, repl),
-            seg_starts=jax.device_put(grouped.seg_starts, repl),
-            seg_lens=jax.device_put(grouped.seg_lens, repl),
+            x=rows_global(grouped.x, P(("data", "model"), None)),
+            x_scales=rows_global(grouped.x_scales, P(("data", "model"))),
+            slot_rows=repl_global(grouped.slot_rows),
+            labels=repl_global(grouped.labels),
+            tile_model=repl_global(grouped.tile_model),
+            seg_starts=repl_global(grouped.seg_starts),
+            seg_lens=repl_global(grouped.seg_lens),
         )
 
     def set_class_mask(self, mask) -> None:
@@ -374,17 +413,25 @@ class StackedNodeTrainer(Logger):
         Raises ``RuntimeError`` after ``max_rounds`` rounds without full
         coverage (cf. ``builder:191-192``).
         """
+        from learnedmetricindex_tpu.parallel import multiprocess as mp
+
         seg_lens_np = np.asarray(grouped.seg_lens)
         max_len = max(int(seg_lens_np.max()), 1)
         steps_per_epoch = max(1, -(-max_len // self.batch_size))
         steps = steps_per_epoch * epochs
 
+        multi = self.mesh is not None and mp.is_multiprocess(self.mesh)
         if self.mesh is not None:
             grouped = self._place_grouped(grouped)
-        active = jnp.ones((self.n_models,), bool)
+        active = np.ones((self.n_models,), bool)
         rounds = 0
         while True:
             self.key, ekey = jax.random.split(self.key)
+            act = active.astype(np.float32)
+            if multi:
+                from jax.sharding import PartitionSpec as P
+
+                act = mp.put_global(act, self.mesh, P())
             self.params, self.opt_state, losses = _run_epochs(
                 self.params,
                 self.opt_state,
@@ -396,7 +443,7 @@ class StackedNodeTrainer(Logger):
                 grouped.seg_starts,
                 grouped.seg_lens,
                 self.class_mask,
-                active.astype(jnp.float32),
+                act,
                 n_models=self.n_models,
                 batch_size=self.batch_size,
                 steps=steps,
@@ -412,7 +459,7 @@ class StackedNodeTrainer(Logger):
                 tile=grouped.tile,
                 n_classes=self.n_classes,
             )
-            covered = _coverage(
+            covered_dev = _coverage(
                 preds,
                 grouped.labels,
                 grouped.tile_model,
@@ -420,8 +467,9 @@ class StackedNodeTrainer(Logger):
                 n_models=self.n_models,
                 n_classes=self.n_classes,
             )
+            covered = mp.to_host_replicated(covered_dev).astype(bool)
             rounds += 1
-            if bool(jnp.all(covered)):
+            if covered.all():
                 break
             if rounds > max_rounds:
                 raise RuntimeError(
@@ -432,18 +480,20 @@ class StackedNodeTrainer(Logger):
             self.logger.debug(
                 "round %d: %d/%d models covered",
                 rounds,
-                int(jnp.sum(covered)),
+                int(covered.sum()),
                 self.n_models,
             )
         if rounds > 1:
             self.logger.debug(
                 "Trained for %d epochs instead of %d.", rounds * epochs, epochs
             )
-        return np.asarray(preds), rounds
+        return mp.to_host_replicated(preds), rounds
 
     def predict_slots(self, grouped: GroupedData) -> np.ndarray:
         """Per-slot argmax under each slot's own model."""
-        return np.asarray(
+        from learnedmetricindex_tpu.parallel import multiprocess as mp
+
+        return mp.to_host_replicated(
             _predict_own_tiles(
                 self.params,
                 grouped.x,
