@@ -81,6 +81,8 @@ def run(
     batch_size: int = 256,
     out_dir: str = "result",
     shard_devices: int = 0,
+    download: bool = True,
+    data_dir: str = "data",
 ):
     """Cf. reference ``run`` (``search/search.py:108-170``)."""
     import learnedmetricindex_tpu as lmi
@@ -101,7 +103,10 @@ def run(
         )
         kind = f"synthetic{synthetic_dim}"
     else:
-        data, queries = load_dataset(kind, size, key=key, preprocess=False)
+        data, queries = load_dataset(
+            kind, size, data_dir, key=key, preprocess=False,
+            download=download,
+        )
         if preprocess:
             data, queries = normalize(data), normalize(queries)
 
@@ -125,7 +130,8 @@ def run(
         # (cf. search.py:192-215)
         kind_search = "clip768v2"
         data_search, queries_search = load_dataset(
-            kind_search, size, key="emb", preprocess=preprocess
+            kind_search, size, data_dir, key="emb", preprocess=preprocess,
+            download=download,
         )
 
     config = lmi.BuildConfiguration(
@@ -270,6 +276,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="shard build and search over an N-device mesh "
         "(-1 = all devices; 0 = single-device, the default)",
     )
+    parser.add_argument("--data-dir", default="data",
+                        help="where SISAP HDF5 files live (or are staged)")
+    parser.add_argument(
+        "--download", action=argparse.BooleanOptionalAction, default=True,
+        help="--no-download = strictly offline: use pre-staged SISAP "
+        "files only and fail with the expected path instead of "
+        "attempting a download",
+    )
     return parser
 
 
@@ -312,6 +326,8 @@ def main(argv=None):
         synthetic_dim=args.synthetic_dim,
         policy=args.policy,
         seed=args.seed,
+        download=args.download,
+        data_dir=args.data_dir,
         chunk_size=args.chunk_size,
         dtype=args.dtype,
         batch_size=args.batch_size,

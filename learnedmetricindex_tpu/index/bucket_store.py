@@ -644,7 +644,7 @@ def _merge_candidates(
     jax.jit,
     static_argnames=(
         "k_scan", "k", "qtile", "chunk", "n_pairs", "compute",
-        "interpret", "rerank", "n_queries",
+        "interpret", "rerank", "n_queries", "gate",
     ),
 )
 def _scan_fused_pallas(
@@ -669,6 +669,7 @@ def _scan_fused_pallas(
     interpret: bool,
     rerank: bool,
     n_queries: int,
+    gate: str = "count",
 ):
     """The whole Pallas-engine scan — kernel, id resolution, sort merge,
     optional exact rerank — as ONE jitted dispatch.  Issuing these as
@@ -690,6 +691,7 @@ def _scan_fused_pallas(
         n_pairs=n_pairs,
         compute=compute,
         interpret=interpret,
+        gate=gate,
     )
     cand_i = jnp.where(cand_slot >= 0, ids_flat[jnp.maximum(cand_slot, 0)], 0)
     R = (n_pairs + 1) * qtile
@@ -915,6 +917,10 @@ def scan_buckets(
                 interpret=jax.default_backend() != "tpu",
                 rerank=rerank,
                 n_queries=plan.n_queries,
+                # selection-loop gating: "count" (default) bounds the
+                # per-chunk extraction sweeps by a counting pass;
+                # "fixed" is the legacy k-trip loop (A/B knob)
+                gate=os.environ.get("LMI_SCAN_GATE", "count"),
             )
             ran_pallas = True
             t0 = _dbg("scan-fused-pallas", t0, dists)

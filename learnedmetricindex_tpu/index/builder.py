@@ -127,7 +127,69 @@ class LearnedIndexBuilder(Logger):
             s_cluster = time.perf_counter()
             import jax as _jax
 
-            for gid in np.nonzero(valid_nodes)[0]:
+            handled = np.zeros(n_models, dtype=bool)
+            serial_nodes = np.nonzero(valid_nodes)[0]
+            # Batched sibling clustering (level > 0): stack every node
+            # with >= C rows into vmapped Lloyd's — one dispatch per
+            # node block instead of one serial k-means per node (the
+            # clustering half of the reference's hot loop #1,
+            # ``LearnedIndexBuilder.py:240-278``; the trainer half is
+            # StackedNodeTrainer).  Small nodes and custom clustering
+            # backends keep the serial path and its guards.
+            multiproc_data = isinstance(
+                self.data, _jax.Array
+            ) and not self.data.is_fully_addressable
+            import os as _os
+
+            if (
+                level > 0
+                and not multiproc_data
+                and params.clustering_algorithm
+                in ("kmeans", "faiss_kmeans", "scikit_kmeans")
+                # A/B escape hatch: force the serial per-node loop
+                and _os.environ.get("LMI_BATCHED_NODE_KMEANS", "1") != "0"
+            ):
+                eligible = serial_nodes[
+                    counts[serial_nodes] >= max(C, 2)
+                ]
+                if len(eligible) > 1:
+                    from learnedmetricindex_tpu.ops.kmeans import (
+                        kmeans_nodes,
+                    )
+
+                    seeds = (
+                        cfg.seed + level * 1_000_003 + eligible
+                    ).astype(np.int64)  # same per-node seeds as serial
+                    lab_b = kmeans_nodes(
+                        self.data,
+                        parent_gid,
+                        eligible,
+                        C,
+                        seeds=seeds,
+                        row_scales=self.row_scales,
+                    )
+                    sel = lab_b >= 0
+                    # per-node dense label compaction + class mask —
+                    # the reference's unique-shrink (builder:161-167),
+                    # vectorized over the whole level
+                    pos = np.full(n_models, len(eligible), np.int64)
+                    pos[eligible] = np.arange(len(eligible))
+                    b = pos[parent_gid[sel]]
+                    hist = np.zeros((len(eligible), C), np.int64)
+                    np.add.at(hist, (b, lab_b[sel]), 1)
+                    present = hist > 0
+                    remap = np.cumsum(present, axis=1) - 1
+                    labels_full[sel] = remap[b, lab_b[sel]].astype(
+                        np.int32
+                    )
+                    class_mask[eligible[:, None], np.arange(C)[None, :]] = (
+                        np.arange(C)[None, :] < present.sum(axis=1)[:, None]
+                    )
+                    handled[eligible] = True
+
+            for gid in serial_nodes:
+                if handled[gid]:
+                    continue
                 rows = np.nonzero(parent_gid == gid)[0]
                 # Device corpus + partial node: hand the row indices to
                 # k-means instead of materializing data[rows] — the

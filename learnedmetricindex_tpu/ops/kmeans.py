@@ -288,6 +288,203 @@ def kmeans(
     return np.asarray(centroids), np.asarray(labels)[:n].astype(np.int32)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("T", "n_clusters", "n_iters", "restarts")
+)
+def _kmeans_nodes_batch(
+    data, scales, slot_rows, seg_starts, seg_lens, keys, *,
+    T: int, n_clusters: int, n_iters: int, restarts: int,
+):
+    """Vmapped Lloyd's over a block of stacked node problems: gather a
+    fixed-size with-replacement training sample per node, run
+    ``restarts`` seeded inits of the single-problem ``_kmeans_device``
+    under nested ``vmap`` (same per-node semantics: init from data
+    points, deterministic empty-cluster resplit), and keep each node's
+    lowest-inertia run — the faiss ``nredo`` analog, nearly free here
+    because the restarts ride the same batched dispatch.  Returns
+    (M_b, C, d) centroids."""
+
+    def sample(key, start, count):
+        # decorrelate the sample draw from _kmeans_device's init draws
+        # (which fold in the restart index 0..restarts-1)
+        idx = jax.random.randint(
+            jax.random.fold_in(key, 2**31 - 1), (T,), 0,
+            jnp.maximum(count, 1),
+        )
+        rows = slot_rows[start + idx]
+        x = data[jnp.maximum(rows, 0)].astype(jnp.float32)
+        if scales is not None:
+            x = x * scales[jnp.maximum(rows, 0)][:, None]
+        return x
+
+    xs = jax.vmap(sample)(keys, seg_starts, seg_lens)  # (M_b, T, d)
+
+    def one_restart(x_m, key_r):
+        c, lab = _kmeans_device(
+            x_m, jnp.int32(T), key_r,
+            n_clusters=n_clusters, n_iters=n_iters, tile_rows=T,
+        )
+        inert = jnp.sum((x_m - c[lab]) ** 2)
+        return c, inert
+
+    def per_node(x_m, key):
+        keys_r = jax.vmap(
+            lambda r: jax.random.fold_in(key, r)
+        )(jnp.arange(restarts))
+        cs, inerts = jax.vmap(one_restart, in_axes=(None, 0))(x_m, keys_r)
+        return cs[jnp.argmin(inerts)]
+
+    return jax.vmap(per_node)(xs, keys)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _assign_tiles_nodes(x, x_scales, slot_rows, tile_node, centroids, *,
+                        tile: int):
+    """Per-slot nearest-centroid label under the slot's own node's
+    centroids — one ``lax.scan`` over tiles (the clustering analog of
+    ``models/train._predict_own_tiles``)."""
+    n_tiles = tile_node.shape[0]
+    srt = slot_rows.reshape(n_tiles, tile)
+
+    def body(_, inputs):
+        m, rows = inputs
+        c = centroids[m]  # (C, d)
+        xt = x[jnp.maximum(rows, 0)].astype(jnp.float32)
+        if x_scales is not None:
+            xt = xt * x_scales[jnp.maximum(rows, 0)][:, None]
+        sims = jnp.dot(
+            xt, c.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        c2 = jnp.sum(c * c, axis=1)[None, :]
+        lab = jnp.argmin(c2 - 2.0 * sims, axis=1).astype(jnp.int32)
+        return None, jnp.where(rows >= 0, lab, -1)
+
+    _, labs = jax.lax.scan(body, None, (tile_node, srt))
+    return labs.reshape(n_tiles * tile)
+
+
+def kmeans_nodes(
+    data,
+    parent_gid: np.ndarray,
+    node_ids: np.ndarray,
+    n_clusters: int,
+    *,
+    seeds: np.ndarray,
+    n_iters: int = 25,
+    max_points_per_centroid: int = 256,
+    row_scales=None,
+    tile: int = 4096,
+    node_batch_bytes: int = 1 << 30,
+    restarts: int = 4,
+) -> np.ndarray:
+    """Cluster MANY sibling nodes' row sets concurrently — one stacked
+    dispatch per node block instead of one k-means job per node (the
+    TPU-native replacement for the reference's serial per-path loop,
+    ``LearnedIndexBuilder.py:240-278``, on the *clustering* side; the
+    trainer side is ``StackedNodeTrainer``).
+
+    ``node_ids`` must each own at least ``n_clusters`` rows of
+    ``parent_gid`` (the builder routes smaller nodes through the serial
+    guards).  Each node trains on a seeded ``256·k``-point sample drawn
+    WITH replacement from its rows (the serial path samples without
+    replacement — a documented, quality-neutral deviation that keeps
+    every vmapped shape static) over ``restarts`` seeded inits keeping
+    the lowest-inertia run (the faiss ``nredo`` analog; single random
+    inits of Lloyd's merge/split well-separated clusters a sizable
+    fraction of the time, and restarts ride the same batched dispatch
+    almost free), then every row is assigned under its own node's
+    centroids in one tiled scan.
+
+    Returns ``labels (n,) int32``: cluster label for rows of the given
+    nodes, -1 elsewhere.  Deterministic in ``seeds`` (one per node).
+    """
+    from learnedmetricindex_tpu import native
+
+    parent_gid = np.asarray(parent_gid)
+    node_ids = np.asarray(node_ids, dtype=np.int64)
+    seeds = np.asarray(seeds, dtype=np.uint32)
+    n = parent_gid.shape[0]
+    M = len(node_ids)
+    d = data.shape[1]
+    C = n_clusters
+
+    # dense node index per row; non-selected rows go to dummy group M
+    pos = np.full(int(parent_gid.max()) + 1, M, dtype=np.int64)
+    pos[node_ids] = np.arange(M)
+    b_of_row = pos[parent_gid]
+
+    counts = native.bincount(b_of_row, M + 1)
+    assert (counts[:M] >= C).all(), "kmeans_nodes needs >= C rows per node"
+    padded = np.maximum(-(-counts[:M] // tile) * tile, tile)
+    seg_starts = np.concatenate([[0], np.cumsum(padded)]).astype(np.int64)
+    S = int(seg_starts[-1])
+    slot_rows, _ = native.fill_slots(
+        b_of_row, np.concatenate([seg_starts[:-1], [S]]), S + int(counts[M])
+    )
+    slot_rows = slot_rows[:S]  # drop the dummy segment
+    tile_node = np.repeat(np.arange(M), padded // tile).astype(np.int32)
+
+    if isinstance(data, jax.Array):
+        x = data
+    else:
+        x = jnp.asarray(np.asarray(data, np.float32))
+    scales_dev = None
+    if row_scales is not None:
+        scales_dev = (
+            row_scales
+            if isinstance(row_scales, jax.Array)
+            else jnp.asarray(np.asarray(row_scales, np.float32))
+        )
+    slot_rows_dev = jnp.asarray(slot_rows)
+
+    # training-sample size: the faiss cap, bounded by the largest node
+    cap = max(max_points_per_centroid * C, C)
+    T = 256
+    while T < min(cap, int(counts[:M].max())):
+        T *= 2
+    T = min(T, cap)
+
+    # node blocks sized so the (M_b, T, d) gather stays in budget
+    M_b = max(1, int(node_batch_bytes // max(T * d * 4, 1)))
+    M_b = min(M_b, M)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
+    cent_blocks = []
+    for m0 in range(0, M, M_b):
+        m1 = min(m0 + M_b, M)
+        pad = M_b - (m1 - m0)
+        sel = np.arange(m0, m1)
+        if pad:  # pad the block with repeats of node 0 (discarded)
+            sel = np.concatenate([sel, np.zeros(pad, np.int64)])
+        cents = _kmeans_nodes_batch(
+            x,
+            scales_dev,
+            slot_rows_dev,
+            jnp.asarray(seg_starts[sel]),
+            jnp.asarray(counts[sel].astype(np.int32)),
+            jax.tree.map(lambda a: a[jnp.asarray(sel)], keys),
+            T=T,
+            n_clusters=C,
+            n_iters=n_iters,
+            restarts=restarts,
+        )
+        cent_blocks.append(cents[: m1 - m0])
+    centroids = jnp.concatenate(cent_blocks) if len(cent_blocks) > 1 else (
+        cent_blocks[0]
+    )
+
+    labs = np.asarray(
+        _assign_tiles_nodes(
+            x, scales_dev, slot_rows_dev, jnp.asarray(tile_node),
+            centroids, tile=tile,
+        )
+    )
+    labels = np.full(n, -1, dtype=np.int32)
+    valid = slot_rows >= 0
+    labels[slot_rows[valid]] = labs[valid]
+    return labels
+
+
 def kmeans_assign(centroids, data, tile_rows: int = 0, row_scales=None) -> np.ndarray:
     """Assign each row of ``data`` to its nearest centroid (the reference's
     ``kmeans.index.search(data, 1)``, ``clustering/faiss_kmeans.py:21``).

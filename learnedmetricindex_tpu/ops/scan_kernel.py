@@ -88,6 +88,7 @@ def _kernel(
     k: int,
     kpad: int,
     compute_dtype,
+    gate: str,
 ):
     i = pl.program_id(0)
     prev_pair = item_pair_ref[jnp.maximum(i - 1, 0)]
@@ -153,20 +154,14 @@ def _kernel(
         acc_i_ref[:] = jnp.where(put, (slot0 + am)[None, :], acc_i_ref[:])
         return win
 
-    # extraction 0 comes free with the materialization pass
-    m0 = jnp.min(dists, axis=0)  # (qtile,)
-    am0 = jnp.argmin(dists, axis=0).astype(jnp.int32)
-    insert(m0, am0)
-    d_ref[:] = dists
-    mprev_ref[:] = jnp.broadcast_to(m0[None, :], (8, qtile))
-    rprev_ref[:] = jnp.broadcast_to(am0[None, :], (8, qtile))
-
-    def body(j, _):
+    def extract_next(_):
+        """One ascending-cursor extraction + accumulator insert (the
+        cursor makes extraction j+1 the minimum strictly after
+        extraction j's ``(value, row)`` pair — no workspace masking or
+        write-backs, stable tie order)."""
         d = d_ref[:]
         mp = mprev_ref[0, :]  # (qtile,)
         rp = rprev_ref[0, :]
-        # next-eligible = strictly after (mp, rp) lexicographically:
-        # no workspace masking or write-backs, stable tie order
         elig = jnp.logical_or(
             d > mp[None, :],
             jnp.logical_and(d == mp[None, :], row > rp[None, :]),
@@ -177,9 +172,43 @@ def _kernel(
         insert(m, am)
         mprev_ref[:] = jnp.broadcast_to(m[None, :], (8, qtile))
         rprev_ref[:] = jnp.broadcast_to(am[None, :], (8, qtile))
-        return 0
 
-    jax.lax.fori_loop(1, k, body, 0)
+    if gate == "fixed":
+        # legacy fixed-trip loop: extraction 0 fused with the
+        # materialization pass, k-1 further sweeps unconditionally
+        m0 = jnp.min(dists, axis=0)  # (qtile,)
+        am0 = jnp.argmin(dists, axis=0).astype(jnp.int32)
+        insert(m0, am0)
+        d_ref[:] = dists
+        mprev_ref[:] = jnp.broadcast_to(m0[None, :], (8, qtile))
+        rprev_ref[:] = jnp.broadcast_to(am0[None, :], (8, qtile))
+        jax.lax.fori_loop(1, k, lambda j, c: (extract_next(None), 0)[1], 0)
+    else:
+        # COUNT-GATED selection: an element can enter the accumulator
+        # only if it beats tau, the pair's current k-th best (inserts
+        # only shrink tau, so the pre-insert tau bounds eligibility).
+        # One cheap counting sweep bounds the extractions actually
+        # needed; ascending-order extraction then visits exactly each
+        # lane's cnt smallest elements (everything < tau IS the lane's
+        # cnt-smallest prefix), capped at k (k ascending inserts
+        # already realize the exact top-k of accumulator ∪ chunk).
+        # After the pair's first chunk tau is tight and max-lane cnt is
+        # typically 1-3 instead of k — ~4× fewer VPU sweeps per item.
+        # (Distinct from the round-2 "skip chunk if no lane can
+        # insert" gate, which never fired because SOME lane of 128
+        # nearly always inserts; here the trip count itself shrinks.)
+        d_ref[:] = dists
+        acck = jnp.where(put_row < k, acc_d_ref[:], -jnp.inf)
+        tau = jnp.max(acck, axis=0)  # (qtile,) current k-th best
+        cnt = jnp.sum((dists < tau[None, :]).astype(jnp.int32), axis=0)
+        trips = jnp.minimum(jnp.max(cnt), k)
+        mprev_ref[:] = jnp.full((8, qtile), -jnp.inf, jnp.float32)
+        rprev_ref[:] = jnp.full((8, qtile), -1, jnp.int32)
+        jax.lax.while_loop(
+            lambda j: j < trips,
+            lambda j: (extract_next(None), j + 1)[1],
+            jnp.int32(0),
+        )
 
     out_d_ref[0] = acc_d_ref[:].T
     out_i_ref[0] = acc_i_ref[:].T
@@ -188,7 +217,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "qtile", "chunk", "n_pairs", "compute",
-                     "interpret"),
+                     "interpret", "gate"),
 )
 def pallas_scan_pairs(
     work_queries: jnp.ndarray,  # (QP, d) f32, QP multiple of qtile
@@ -205,6 +234,7 @@ def pallas_scan_pairs(
     n_pairs: int,
     compute: str = "bf16",
     interpret: bool = False,
+    gate: str = "count",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused phase 1: one (qtile, k) candidate list per (bucket, tile)
     pair, already merged across the bucket's chunks.
@@ -261,7 +291,8 @@ def pallas_scan_pairs(
         )
     cand_d, cand_i = pl.pallas_call(
         functools.partial(
-            _kernel, k=k, kpad=kpad, compute_dtype=compute_dtype
+            _kernel, k=k, kpad=kpad, compute_dtype=compute_dtype,
+            gate=gate,
         ),
         grid_spec=grid_spec,
         out_shape=out_shapes,

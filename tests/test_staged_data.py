@@ -130,3 +130,19 @@ def test_bench_dataset_mode_end_to_end(tmp_path, capsys, monkeypatch):
     assert result["recall_comparable_to_reference"] is False
     assert 0.0 <= result["recall_at_10"] <= 1.0
     assert result["value"] > 0
+
+
+def test_cli_offline_staged_dataset(tmp_path):
+    """CLI --no-download --data-dir runs end-to-end on staged files."""
+    from learnedmetricindex_tpu.cli import main
+
+    _stage(tmp_path, "clip768v2", "100K", n=1500, d=24, nq=16, seed=2)
+    out = main(
+        [
+            "--dataset", "clip768v2", "--size", "100K", "--emb", "emb",
+            "--data-dir", str(tmp_path), "--no-download",
+            "--n-categories", "5", "--epochs", "5", "--no-save",
+            "-b", "2", "--out-dir", str(tmp_path / "result"),
+        ]
+    )
+    assert len(out) == 1
