@@ -277,6 +277,12 @@ def main():
     p.add_argument("--two-level-categories", default="10,10")
     p.add_argument("--quick", action="store_true",
                    help="small smoke config (200K x 96)")
+    p.add_argument("--scan-precision", default="default",
+                   choices=["default", "int8"],
+                   help="bulk-scan matmul mode of the fast path: one "
+                        "bf16 MXU pass (default) or int8*int8->int32 "
+                        "(2x MXU throughput; exact rerank absorbs the "
+                        "noise either way). Ignored under --strict")
     p.add_argument("--strict", action="store_true",
                    help="strict-parity scan: no approx top-k, no rerank "
                         "shortlist, HIGHEST matmul precision end-to-end "
@@ -420,7 +426,7 @@ def main():
     log(f"  packed {store.nbytes()/1e9:.1f} GB in {time.perf_counter()-t0:.1f}s")
 
     approx = args.approx_recall if args.approx_recall > 0 else None
-    precision = "highest" if args.strict else "default"
+    precision = "highest" if args.strict else args.scan_precision
     rerank = not args.strict
     log("warmup search ...")
     t0 = time.perf_counter()

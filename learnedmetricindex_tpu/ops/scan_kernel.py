@@ -70,8 +70,10 @@ def _kernel(
     item_chunk_ref,  # (W,) int32: chunk index per item
     w_real_ref,  # (1,) int32: items beyond this are padding
     # blocks
-    qv_ref,  # (qtile, d) f32
+    qv_ref,  # (qtile, d) f32 — or int8 when compute_dtype is int8
     qidx_ref,  # (n_tiles, qtile) int32 — FULL array in VMEM
+    qscale_ref,  # (n_tiles, qtile) f32 — per-query dequant scales
+    #              (ones unless compute_dtype is int8); FULL in VMEM
     slab_ref,  # (chunk, d) store dtype
     scales_ref,  # (chunk,) f32 (0.0 marks padding slots)
     # outputs (revisited across the pair's chunks; flushed on change)
@@ -104,22 +106,35 @@ def _kernel(
     # lanes.  Lane-dimension min/argmin over a 2k-wide matrix makes
     # Mosaic's register allocator spill ~130 MB; the same reductions
     # over the sublane dimension are native (measured: 0.7 s vs OOM).
-    qv = qv_ref[:].astype(compute_dtype)  # (qtile, d)
-    cd = slab_ref[:].astype(compute_dtype)  # (chunk, d)
-    sims = jax.lax.dot_general(
-        cd,
-        qv,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        # f32 compute means FULL f32 (multi-pass MXU), matching the XLA
-        # engine's Precision.HIGHEST — the default would still run one
-        # bf16 pass even on f32 inputs
-        precision=(
-            jax.lax.Precision.HIGHEST
-            if compute_dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT
-        ),
-    )  # (chunk, qtile)
+    tile = jnp.minimum(item_pair_ref[i], qidx_ref.shape[0] - 1)
+    qi = qidx_ref[tile, :]  # (qtile,)
+    if compute_dtype == jnp.int8:
+        # int8×int8→int32 on the MXU: 2× the bf16 throughput and no
+        # dequant cast of the slab.  Scales factor exactly:
+        # <q, x> = (q_int · x_int) · q_scale · x_scale.
+        sims = jax.lax.dot_general(
+            slab_ref[:],
+            qv_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)  # (chunk, qtile)
+    else:
+        qv = qv_ref[:].astype(compute_dtype)  # (qtile, d)
+        cd = slab_ref[:].astype(compute_dtype)  # (chunk, d)
+        sims = jax.lax.dot_general(
+            cd,
+            qv,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # f32 compute means FULL f32 (multi-pass MXU), matching the
+            # XLA engine's Precision.HIGHEST — the default would still
+            # run one bf16 pass even on f32 inputs
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if compute_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            ),
+        )  # (chunk, qtile)
     chunk = sims.shape[0]
     qtile = sims.shape[1]
     # scales arrive as a 1-D block — 1-D HBM arrays keep the compact
@@ -127,10 +142,9 @@ def _kernel(
     # 128×: 4.9 GB at 10M slots)
     scales = scales_ref[:].reshape(chunk, 1)
     sims = sims * scales
+    if compute_dtype == jnp.int8:
+        sims = sims * qscale_ref[tile, :][None, :]
     dists = 1.0 - sims
-
-    tile = jnp.minimum(item_pair_ref[i], qidx_ref.shape[0] - 1)
-    qi = qidx_ref[tile, :]  # (qtile,)
     dists = jnp.where(scales == 0.0, jnp.inf, dists)  # padding slots
     qbad = (qi < 0).astype(jnp.int32)[None, :]  # (1, qtile)
     dists = jnp.where(qbad > 0, jnp.inf, dists)
@@ -220,13 +234,15 @@ def _kernel(
                      "interpret", "gate"),
 )
 def pallas_scan_pairs(
-    work_queries: jnp.ndarray,  # (QP, d) f32, QP multiple of qtile
+    work_queries: jnp.ndarray,  # (QP, d) f32 — int8 for compute="int8"
     qidx2d: jnp.ndarray,  # (QP // qtile, qtile) int32
     item_pair: jnp.ndarray,  # (W,) int32: output row (n_pairs = dummy)
     item_chunk: jnp.ndarray,  # (W,) int32
     w_real: jnp.ndarray,  # (1,) int32: first padding item index
     chunk_data: jnp.ndarray,  # (n_slots, d) flat packed store
     chunk_scales_flat: jnp.ndarray,  # (n_slots,) f32, 0.0 = pad slot
+    query_scales2d: jnp.ndarray = None,  # (n_tiles, qtile) f32 dequant
+    #                scales of int8 queries (compute="int8" only)
     *,
     k: int,
     qtile: int,
@@ -239,6 +255,10 @@ def pallas_scan_pairs(
     """Fused phase 1: one (qtile, k) candidate list per (bucket, tile)
     pair, already merged across the bucket's chunks.
 
+    ``compute``: "bf16" (one MXU pass), "f32" (HIGHEST, multi-pass) or
+    "int8" — int8×int8→int32 MXU (2× bf16 throughput; requires an int8
+    store AND int8 ``work_queries`` with ``query_scales2d``).
+
     Returns ``(cand_d (n_pairs+1, qtile, k) f32, cand_slot (n_pairs+1,
     qtile, k) int32)`` — SLOT indices (-1 = none), to be mapped to
     object ids by the caller; the last row is the dummy pair that
@@ -248,7 +268,11 @@ def pallas_scan_pairs(
     W = item_chunk.shape[0]
     d = work_queries.shape[1]
     kpad = max(16, -(-k // 8) * 8)  # sublane-aligned accumulator rows
-    compute_dtype = jnp.bfloat16 if compute == "bf16" else jnp.float32
+    compute_dtype = {
+        "bf16": jnp.bfloat16, "f32": jnp.float32, "int8": jnp.int8,
+    }[compute]
+    if query_scales2d is None:
+        query_scales2d = jnp.ones(qidx2d.shape, jnp.float32)
 
     n_tiles = qidx2d.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -260,6 +284,7 @@ def pallas_scan_pairs(
                 lambda i, ip, ic, wr: (jnp.minimum(ip[i], n_tiles - 1), 0),
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full qidx2d
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full query scales
             pl.BlockSpec((chunk, d), lambda i, ip, ic, wr: (ic[i], 0)),
             pl.BlockSpec((chunk,), lambda i, ip, ic, wr: (ic[i],)),
         ],
@@ -299,7 +324,7 @@ def pallas_scan_pairs(
         interpret=interpret,
         **kwargs,
     )(item_pair, item_chunk, w_real,
-      work_queries, qidx2d, chunk_data, chunk_scales_flat)
+      work_queries, qidx2d, query_scales2d, chunk_data, chunk_scales_flat)
     return cand_d[:, :, :k], cand_i[:, :, :k]
 
 

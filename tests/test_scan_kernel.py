@@ -130,3 +130,60 @@ def test_pallas_large_k_matches_oracle():
     ref_d, ref_i = exact_knn(data, queries, k=24)
     np.testing.assert_allclose(pd, ref_d, rtol=1e-4, atol=1e-5)
     assert recall(pi, ref_i, 24) == 1.0
+
+
+def test_int8_precision_matches_dequantized_oracle():
+    """precision='int8' (int8 x int8 MXU bulk + exact rerank) returns
+    the exact top-k over the dequantized corpus at full visit."""
+    import numpy as np
+
+    from learnedmetricindex_tpu.index.bucket_store import (
+        BucketStore,
+        scan_buckets,
+    )
+    from learnedmetricindex_tpu.ops.knn import exact_knn, recall
+
+    rng = np.random.default_rng(5)
+    n, d, nq, nb = 3000, 32, 40, 6
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    queries = data[:nq] + 0.05 * rng.normal(size=(nq, d)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    bucket_ids = rng.integers(0, nb, size=n)
+
+    store = BucketStore.build_packed_int8(data, bucket_ids, nb, chunk=128)
+    deq = np.asarray(store.chunk_data, np.float32) * np.asarray(
+        store.chunk_scales
+    )[:, None]
+    ids_flat = np.asarray(store.chunk_ids).reshape(-1)
+    valid = ids_flat > 0
+    corpus = np.zeros((n, d), np.float32)
+    corpus[ids_flat[valid] - 1] = deq[valid]
+    _, gt = exact_knn(corpus, queries, k=10)
+
+    order = np.tile(np.arange(nb, dtype=np.int64), (nq, 1))
+    dists, ids = scan_buckets(
+        store, queries, order, k=10, qtile=8, precision="int8",
+        rerank=True, rerank_margin=6, engine="pallas",
+    )
+    assert recall(ids, gt, 10) == 1.0
+    # reranked distances are exact f32 over the dequantized store
+    ref_d, _ = exact_knn(corpus, queries, k=10)
+    np.testing.assert_allclose(dists, ref_d, rtol=1e-5, atol=1e-6)
+
+
+def test_int8_precision_requires_int8_store():
+    import numpy as np
+    import pytest
+
+    from learnedmetricindex_tpu.index.bucket_store import (
+        BucketStore,
+        scan_buckets,
+    )
+
+    rng = np.random.default_rng(6)
+    data = rng.normal(size=(300, 16)).astype(np.float32)
+    store = BucketStore.build(data, rng.integers(0, 3, 300), 3, chunk=64)
+    order = np.tile(np.arange(3, dtype=np.int64), (5, 1))
+    with pytest.raises(ValueError, match="int8"):
+        scan_buckets(store, data[:5], order, k=5, precision="int8")
