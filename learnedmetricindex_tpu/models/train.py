@@ -425,30 +425,42 @@ class StackedNodeTrainer(Logger):
             grouped = self._place_grouped(grouped)
         active = np.ones((self.n_models,), bool)
         rounds = 0
+        # Bound the steps per jitted dispatch: a 200-epoch build at 10M
+        # is ~2M minibatch steps, and a single multi-minute lax.scan
+        # execution gets killed by remote-runtime execution limits
+        # (observed: "TPU worker process crashed").  Chunking costs one
+        # extra compile for the remainder shape and nothing else.
+        import os as _os
+
+        max_steps = int(_os.environ.get("LMI_MAX_STEPS_PER_CALL", 50_000))
         while True:
-            self.key, ekey = jax.random.split(self.key)
             act = active.astype(np.float32)
             if multi:
                 from jax.sharding import PartitionSpec as P
 
                 act = mp.put_global(act, self.mesh, P())
-            self.params, self.opt_state, losses = _run_epochs(
-                self.params,
-                self.opt_state,
-                ekey,
-                grouped.x,
-                grouped.x_scales,
-                grouped.slot_rows,
-                grouped.labels,
-                grouped.seg_starts,
-                grouped.seg_lens,
-                self.class_mask,
-                act,
-                n_models=self.n_models,
-                batch_size=self.batch_size,
-                steps=steps,
-                lr=self.lr,
-            )
+            remaining = steps
+            while remaining > 0:
+                s = min(remaining, max_steps)
+                self.key, skey = jax.random.split(self.key)
+                self.params, self.opt_state, losses = _run_epochs(
+                    self.params,
+                    self.opt_state,
+                    skey,
+                    grouped.x,
+                    grouped.x_scales,
+                    grouped.slot_rows,
+                    grouped.labels,
+                    grouped.seg_starts,
+                    grouped.seg_lens,
+                    self.class_mask,
+                    act,
+                    n_models=self.n_models,
+                    batch_size=self.batch_size,
+                    steps=s,
+                    lr=self.lr,
+                )
+                remaining -= s
             preds = _predict_own_tiles(
                 self.params,
                 grouped.x,

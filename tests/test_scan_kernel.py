@@ -187,3 +187,36 @@ def test_int8_precision_requires_int8_store():
     order = np.tile(np.arange(3, dtype=np.int64), (5, 1))
     with pytest.raises(ValueError, match="int8"):
         scan_buckets(store, data[:5], order, k=5, precision="int8")
+
+
+def test_gate_fixed_and_count_bit_identical(monkeypatch):
+    """The count-gated selection loop (default) and the legacy
+    fixed-trip loop return bit-identical candidates (the gate only
+    bounds how many extraction sweeps run, never which elements can
+    insert)."""
+    import numpy as np
+
+    from learnedmetricindex_tpu.data import synthetic_blobs
+    from learnedmetricindex_tpu.index.bucket_store import (
+        BucketStore,
+        scan_buckets,
+    )
+
+    rng = np.random.default_rng(17)
+    data, queries = synthetic_blobs(3000, 16, 25, n_clusters=9, seed=3)
+    bucket_ids = rng.integers(0, 7, size=3000)
+    store = BucketStore.build(data, bucket_ids, 7, chunk=128)
+    order = np.stack(
+        [rng.choice(7, size=3, replace=False) for _ in range(25)]
+    ).astype(np.int64)
+    order[4:7] = -1  # queries visiting nothing
+
+    outs = {}
+    for gate in ("fixed", "count"):
+        monkeypatch.setenv("LMI_SCAN_GATE", gate)
+        outs[gate] = scan_buckets(
+            store, queries, order, k=9, qtile=8, precision="highest",
+            rerank=False, engine="pallas",
+        )
+    np.testing.assert_array_equal(outs["fixed"][1], outs["count"][1])
+    np.testing.assert_array_equal(outs["fixed"][0], outs["count"][0])
