@@ -315,6 +315,8 @@ class ScanPlan(NamedTuple):
     item_chunk: np.ndarray  # (W,) chunk processed by each item
     n_queries: int
     qtile: int
+    pair_slot: Optional[np.ndarray] = None  # (Q*V,) slot of each
+    # (query, visit) pair in row-major bucket_order, -1 = unused visit
 
 
 def build_scan_plan(
@@ -345,6 +347,10 @@ def build_scan_plan(
     slot = pad_starts[b_sorted] + np.arange(len(b_sorted)) - src_starts[b_sorted]
     qidx = np.full(QP, -1, dtype=np.int32)
     qidx[slot] = q_sorted
+    # inverse map for the dense merge: (query, visit) → its slot (the
+    # kernel's candidate-row index); -1 where bucket_order was -1
+    pair_slot = np.full(Q * V, -1, dtype=np.int32)
+    pair_slot[np.nonzero(keep)[0][order]] = slot.astype(np.int32)
 
     # --- work items: for bucket b, for qtile t, for chunk c ----------
     ntiles = padded_counts // qtile  # per bucket
@@ -370,6 +376,7 @@ def build_scan_plan(
         item_chunk=item_chunk,
         n_queries=Q,
         qtile=qtile,
+        pair_slot=pair_slot,
     )
 
 
@@ -644,7 +651,7 @@ def _merge_candidates(
     jax.jit,
     static_argnames=(
         "k_scan", "k", "qtile", "chunk", "n_pairs", "compute",
-        "interpret", "rerank", "n_queries", "gate",
+        "interpret", "rerank", "n_visits", "gate",
     ),
 )
 def _scan_fused_pallas(
@@ -656,9 +663,9 @@ def _scan_fused_pallas(
     chunk_data,  # (n_slots, d) packed store
     scales_flat,  # (n_slots,) f32, 0.0 = pad slot
     ids_flat,  # (n_slots,) int32 1-based object ids
-    row_ok,  # (R,) bool: candidate rows belonging to written pairs
+    pair_rows,  # (Q*V,) int32 candidate row of each (query, visit)
+    pair_ok,  # (Q*V,) bool: visit exists AND its pair was written
     queries_all,  # (Q, d) f32 (rerank)
-    row_slot,  # (n,) int32 or None (rerank id→slot map)
     *,
     k_scan: int,
     k: int,
@@ -668,7 +675,7 @@ def _scan_fused_pallas(
     compute: str,
     interpret: bool,
     rerank: bool,
-    n_queries: int,
+    n_visits: int,
     gate: str = "count",
 ):
     """The whole Pallas-engine scan — kernel, id resolution, sort merge,
@@ -702,22 +709,84 @@ def _scan_fused_pallas(
         interpret=interpret,
         gate=gate,
     )
-    cand_i = jnp.where(cand_slot >= 0, ids_flat[jnp.maximum(cand_slot, 0)], 0)
+    # Merge and rerank on SLOT indices; object ids resolve with one
+    # (Q, k) gather at the very end.  Resolving ids for every candidate
+    # up front (R × k_scan ≈ 580k elements at the flagship shape) was
+    # ~0.06 s of the 0.17 s dispatch — XLA:TPU per-element gathers are
+    # pathological, and the final result needs only Q × k of them.
     R = (n_pairs + 1) * qtile
-    cand_q = jnp.concatenate([qidx, jnp.full((qtile,), -1, jnp.int32)])
-    cand_q = jnp.where(row_ok, cand_q, -1)
-    dists, ids = _merge_candidates(
+    dists, slots = _merge_pairs_dense(
         cand_d.reshape(R, k_scan),
-        cand_i.reshape(R, k_scan),
-        cand_q,
+        cand_slot.reshape(R, k_scan),
+        pair_rows,
+        pair_ok,
         k=k_scan,
-        n_queries=n_queries,
+        V=n_visits,
     )
     if rerank:
-        dists, ids = _rerank_exact(
-            dists, ids, queries_all, chunk_data, scales_flat, row_slot, k=k
+        dists, slots = _rerank_exact_slots(
+            dists, slots, queries_all, chunk_data, scales_flat, k=k
         )
+    ids = jnp.where(slots >= 0, ids_flat[jnp.maximum(slots, 0)], 0)
     return dists, ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "V"))
+def _merge_pairs_dense(
+    cand_d: jnp.ndarray,  # (R, k) per-pair candidate distances
+    cand_s: jnp.ndarray,  # (R, k) per-pair candidate slots, -1 invalid
+    pair_rows: jnp.ndarray,  # (Q*V,) row of each (query, visit) pair
+    pair_ok: jnp.ndarray,  # (Q*V,) bool: row exists AND was written
+    *,
+    k: int,
+    V: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Phase 2 for the Pallas engine: each query has AT MOST ``V``
+    candidate rows (one per visited bucket — the kernel already merged
+    across chunks), so the global per-query top-k is a dense (Q, V·k)
+    row-gather + k-pass — not a 3-key sort over every candidate.  The
+    sort-based ``_merge_candidates`` (still used by the XLA engine,
+    whose phase 1 emits per-chunk candidates of unbounded per-query
+    count) measured ~0.06 s of the 0.17 s flagship dispatch; this is
+    ~milliseconds."""
+    Q = pair_rows.shape[0] // V
+    d = cand_d[pair_rows]  # (Q*V, k) contiguous-row gather
+    s = cand_s[pair_rows]
+    d = jnp.where(pair_ok[:, None], d, jnp.inf).reshape(Q, V * k)
+    s = jnp.where(pair_ok[:, None], s, -1).reshape(Q, V * k)
+    vals, pos = _item_topk(d, k, None)
+    out_s = jnp.take_along_axis(s, pos, axis=1)
+    out_s = jnp.where(jnp.isinf(vals), -1, out_s)
+    return vals, out_s
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _rerank_exact_slots(
+    cand_d: jnp.ndarray,  # (Q, kk) approximate candidate distances
+    cand_s: jnp.ndarray,  # (Q, kk) packed-store slot indices, -1 invalid
+    queries: jnp.ndarray,  # (Q, d)
+    chunk_data: jnp.ndarray,  # (n_slots, d) packed store
+    scales_flat: jnp.ndarray,  # (n_slots,) f32 (1.0 when unscaled)
+    *,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Slot-native stage 2 (Pallas engine): exact f32 distances for the
+    shortlist, gathered straight from the packed slabs — no id→slot
+    indirection."""
+    rows = jnp.maximum(cand_s, 0)
+    vecs = chunk_data[rows].astype(jnp.float32)  # (Q, kk, d)
+    vecs = vecs * scales_flat[rows][:, :, None]
+    sims = jnp.einsum(
+        "qkd,qd->qk", vecs, queries,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    dists = jnp.where(cand_s >= 0, 1.0 - sims, jnp.inf)
+    neg, pos = jax.lax.top_k(-dists, k)
+    out_s = jnp.take_along_axis(cand_s, pos, axis=1)
+    out_d = -neg
+    out_s = jnp.where(jnp.isinf(out_d), -1, out_s)
+    return out_d, out_s
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -918,8 +987,14 @@ def scan_buckets(
             item_pair, item_chunk_p, w_real, scales_flat, pair_written = (
                 pallas_host_args(store, plan, qtile, n_pairs)
             )
-            row_ok = np.repeat(pair_written, qtile)
-            # kernel + id resolve + merge + rerank in ONE dispatch
+            # dense-merge map: (query, visit) → candidate row; invalid
+            # visits point at the never-written overflow tile
+            ok = plan.pair_slot >= 0
+            pair_rows = np.where(ok, plan.pair_slot, n_pairs * qtile)
+            pair_ok = ok & pair_written[
+                np.minimum(pair_rows // qtile, n_pairs)
+            ]
+            # kernel + merge + rerank + id resolve in ONE dispatch
             dists, ids = _scan_fused_pallas(
                 work_queries,
                 qidx_dev,
@@ -929,9 +1004,9 @@ def scan_buckets(
                 store.chunk_data,
                 scales_flat,
                 store.chunk_ids.reshape(-1),
-                jnp.asarray(row_ok),
+                jnp.asarray(pair_rows.astype(np.int32)),
+                jnp.asarray(pair_ok),
                 q_dev_all,
-                store.row_slot if rerank else None,
                 k_scan=k_scan,
                 k=k,
                 qtile=qtile,
@@ -942,7 +1017,7 @@ def scan_buckets(
                 ),
                 interpret=jax.default_backend() != "tpu",
                 rerank=rerank,
-                n_queries=plan.n_queries,
+                n_visits=int(np.asarray(bucket_order).shape[1]),
                 # selection-loop gating: "count" (default) bounds the
                 # per-chunk extraction sweeps by a counting pass;
                 # "fixed" is the legacy k-trip loop (A/B knob)

@@ -36,6 +36,7 @@ from learnedmetricindex_tpu.index.bucket_store import (
     BucketStore,
     _gather_work_queries,
     _item_topk,
+    _merge_pairs_dense,
     build_scan_plan,
 )
 
@@ -338,13 +339,13 @@ def _local_topk_sort(cand_d, cand_i, cand_q, Q: int, k: int, cand_s=None):
     return out_d, out_i, out_s
 
 
-def _local_rerank_exact(out_d, out_i, out_s, cdata, cscales, queries, k):
+def _local_rerank_exact(out_d, out_s, cdata, cscales, queries, k):
     """Shard-local stage 2: exact HIGHEST-precision distances for the
     local shortlist only.  Every shortlisted candidate's vector lives in
     THIS shard's slabs (``out_s`` are local slot indices), so no
     cross-chip gather is needed — the all-gather after this carries
-    already-exact candidates (cf. the single-chip ``_rerank_exact``,
-    ``bucket_store.py``)."""
+    already-exact candidates (cf. the single-chip ``_rerank_exact_slots``,
+    ``bucket_store.py``).  Returns (dists, slots)."""
     rows = jnp.maximum(out_s, 0)
     vecs = cdata[rows].astype(jnp.float32)  # (Q, kk, d)
     vecs = vecs * cscales[rows][..., None]
@@ -355,17 +356,17 @@ def _local_rerank_exact(out_d, out_i, out_s, cdata, cscales, queries, k):
     )
     dd = jnp.where(out_s >= 0, 1.0 - sims, jnp.inf)
     neg, pos = jax.lax.top_k(-dd, k)
-    out_i_k = jnp.take_along_axis(out_i, pos, axis=1)
+    out_s_k = jnp.take_along_axis(out_s, pos, axis=1)
     out_d_k = -neg
-    out_i_k = jnp.where(jnp.isinf(out_d_k), 0, out_i_k)
-    return out_d_k, out_i_k
+    out_s_k = jnp.where(jnp.isinf(out_d_k), -1, out_s_k)
+    return out_d_k, out_s_k
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "mesh", "k", "k_scan", "qtile", "chunk", "use_pallas", "precision",
-        "interpret", "rerank",
+        "interpret", "rerank", "n_visits",
     ),
 )
 def _run_sharded(
@@ -376,7 +377,8 @@ def _run_sharded(
     iv,
     ipair,
     wr,
-    pwr,
+    prow,
+    pok,
     cdata,
     cids,
     cscales,
@@ -390,6 +392,7 @@ def _run_sharded(
     precision,
     interpret,
     rerank,
+    n_visits,
 ):
     """One jitted dispatch for the whole sharded search (module-level so
     repeated searches at the same shapes hit the jit cache — a closure
@@ -403,11 +406,11 @@ def _run_sharded(
         else jax.lax.Precision.DEFAULT
     )
 
-    def local(queries, qidx, iq, ic, iv, ipair, wr, pwr, cdata, cids,
-              cscales):
+    def local(queries, qidx, iq, ic, iv, ipair, wr, prow, pok, cdata,
+              cids, cscales):
         # leading device axis of size 1 inside the shard
         qidx, iq, ic, iv = qidx[0], iq[0], ic[0], iv[0]
-        ipair, wr, pwr = ipair[0], wr[0], pwr[0]
+        ipair, wr, prow, pok = ipair[0], wr[0], prow[0], pok[0]
         cdata, cids, cscales = cdata[0], cids[0], cscales[0]
         wq = _gather_work_queries(queries, qidx)
         W = iq.shape[0]
@@ -439,32 +442,28 @@ def _run_sharded(
                 compute="f32" if precision == "highest" else "bf16",
                 interpret=interpret,
             )
-            cand_i = jnp.where(
-                cand_slot >= 0, ids_flat[jnp.maximum(cand_slot, 0)], 0
-            )
+            # merge and rerank on local SLOT indices; resolve object
+            # ids only for the final (Q, k).  The merge is the dense
+            # per-(query, visit) row gather + k-pass — each query has
+            # at most V candidate rows on this shard (see
+            # bucket_store._merge_pairs_dense); the 3-key sort merge
+            # it replaces was the dominant non-kernel cost.
             R = (n_pairs + 1) * qtile
-            cand_q = jnp.concatenate(
-                [qidx, jnp.full((qtile,), -1, jnp.int32)]
-            )
-            row_ok = jnp.repeat(pwr, qtile, total_repeat_length=R)
-            cand_q = jnp.where(row_ok, cand_q, -1)
+            out_d, out_s = _merge_pairs_dense(
+                cand_d.reshape(R, k_scan),
+                cand_slot.reshape(R, k_scan),
+                prow,
+                pok,
+                k=k_scan,
+                V=n_visits,
+            )  # k_scan == k when rerank is off
             if rerank:
-                out_d, out_i, out_s = _local_topk_sort(
-                    cand_d.reshape(R, k_scan),
-                    cand_i.reshape(R, k_scan),
-                    cand_q, Q, k_scan,
-                    cand_s=cand_slot.reshape(R, k_scan),
+                out_d, out_s = _local_rerank_exact(
+                    out_d, out_s, cdata, cscales.reshape(-1), queries, k
                 )
-                out_d, out_i = _local_rerank_exact(
-                    out_d, out_i, out_s, cdata, cscales.reshape(-1),
-                    queries, k,
-                )
-            else:
-                out_d, out_i = _local_topk_sort(
-                    cand_d.reshape(R, k_scan),
-                    cand_i.reshape(R, k_scan),
-                    cand_q, Q, k,
-                )
+            out_i = jnp.where(
+                out_s >= 0, ids_flat[jnp.maximum(out_s, 0)], 0
+            )
             return out_d[None], out_i[None]
 
         def body(_, inputs):
@@ -496,13 +495,16 @@ def _run_sharded(
         _, (cd_o, ci_o, cq_o, cs_o) = jax.lax.scan(body, None, (iq, ic, iv))
         R = W * qtile
         if rerank:
-            out_d, out_i, out_s = _local_topk_sort(
-                cd_o.reshape(R, k_scan), ci_o.reshape(R, k_scan),
-                cq_o.reshape(R), Q, k_scan,
-                cand_s=cs_o.reshape(R, k_scan).astype(jnp.int32),
+            slots2d = cs_o.reshape(R, k_scan).astype(jnp.int32)
+            out_d, _, out_s = _local_topk_sort(
+                cd_o.reshape(R, k_scan), slots2d,
+                cq_o.reshape(R), Q, k_scan, cand_s=slots2d,
             )
-            out_d, out_i = _local_rerank_exact(
-                out_d, out_i, out_s, cdata, cscales, queries, k
+            out_d, out_s = _local_rerank_exact(
+                out_d, out_s, cdata, cscales, queries, k
+            )
+            out_i = jnp.where(
+                out_s >= 0, cids.reshape(-1)[jnp.maximum(out_s, 0)], 0
             )
         else:
             out_d, out_i = _local_topk_sort(
@@ -520,6 +522,7 @@ def _run_sharded(
         P(axis, None),
         P(axis, None),
         P(axis, None),
+        P(axis, None),
         P(axis, None, None),
         P(axis, None, None),
         P(axis, None),
@@ -528,7 +531,8 @@ def _run_sharded(
         local, mesh,
         in_specs=specs_in,
         out_specs=(P(axis, None, None), P(axis, None, None)),
-    )(queries, qidx, iq, ic, iv, ipair, wr, pwr, cdata, cids, cscales)
+    )(queries, qidx, iq, ic, iv, ipair, wr, prow, pok, cdata, cids,
+      cscales)
     # (D, Q, k) → global per-query top-k (XLA inserts the all-gather)
     all_d = jnp.transpose(out_d, (1, 0, 2)).reshape(Q, -1)
     all_i = jnp.transpose(out_i, (1, 0, 2)).reshape(Q, -1)
@@ -603,6 +607,11 @@ def sharded_search(
     w_real = np.zeros((n_dev, 1), np.int32)
     pair_written = np.zeros((n_dev, n_pairs + 1), bool)
     qidx = np.full((n_dev, QP_max), -1, np.int32)
+    Q, V = order.shape
+    # dense-merge map per device: (query, visit) → local candidate row
+    # (invalid/non-local visits point at the never-written dummy tile)
+    pair_rows = np.full((n_dev, Q * V), n_pairs * qtile, np.int32)
+    pair_ok = np.zeros((n_dev, Q * V), bool)
     for dev, p in enumerate(plans):
         w = len(p.item_chunk)
         item_q_start[dev, :w] = p.item_q_start
@@ -614,6 +623,12 @@ def sharded_search(
             pair_written[dev, item_pair[dev, :w]] = True
         pair_written[dev, n_pairs] = False
         qidx[dev, : len(p.qidx)] = p.qidx
+        ok = p.pair_slot >= 0
+        rows = np.where(ok, p.pair_slot, n_pairs * qtile)
+        pair_rows[dev] = rows
+        pair_ok[dev] = ok & pair_written[
+            dev, np.minimum(rows // qtile, n_pairs)
+        ]
 
     d_dim = sharded.chunk_data.shape[-1]
     on_tpu = jax.default_backend() == "tpu"
@@ -651,7 +666,8 @@ def sharded_search(
         mp.put_global(item_valid, mesh, dev2),
         mp.put_global(item_pair, mesh, dev2),
         mp.put_global(w_real, mesh, dev2),
-        mp.put_global(pair_written, mesh, dev2),
+        mp.put_global(pair_rows, mesh, dev2),
+        mp.put_global(pair_ok, mesh, dev2),
         sharded.chunk_data,
         sharded.chunk_ids,
         sharded.chunk_scales,
@@ -664,5 +680,6 @@ def sharded_search(
         precision=precision,
         interpret=use_pallas and not on_tpu,
         rerank=rerank,
+        n_visits=V,
     )
     return np.asarray(dists), np.asarray(ids).astype(np.uint32)
