@@ -179,6 +179,78 @@ def test_plan_items_cover_all_pairs():
     assert not seen
 
 
+def test_pair_slot_map_and_dense_merge():
+    """The plan's (query, visit) → slot map is exact, and the dense
+    per-pair merge (``_merge_pairs_dense``, the Pallas engine's phase 2)
+    agrees with the sort-based ``_merge_candidates`` on the same
+    candidate set."""
+    import jax.numpy as jnp
+
+    from learnedmetricindex_tpu.index.bucket_store import (
+        _merge_candidates,
+        _merge_pairs_dense,
+    )
+
+    rng = np.random.default_rng(7)
+    Q, V, k, qtile, nb = 37, 3, 5, 8, 6
+    # visits include duplicates of none; bucket nb-1 is EMPTY
+    order = np.full((Q, V), -1, np.int64)
+    for q in range(Q):
+        nv = int(rng.integers(1, V + 1))
+        order[q, :nv] = rng.choice(nb, size=nv, replace=False)
+    data = rng.normal(size=(300, 8)).astype(np.float32)
+    bids = rng.integers(0, nb - 1, size=300)
+    store = BucketStore.build(data, bids, nb, chunk=16)
+    plan = build_scan_plan(store, order, qtile=qtile)
+
+    # --- map invariants: each valid (q, v) slot carries that query ---
+    ps = plan.pair_slot.reshape(Q, V)
+    for q in range(Q):
+        for v in range(V):
+            if order[q, v] < 0:
+                assert ps[q, v] == -1
+            else:
+                assert plan.qidx[ps[q, v]] == q
+    # valid slots are all distinct
+    valid = ps[ps >= 0]
+    assert len(np.unique(valid)) == len(valid)
+
+    # --- merge equivalence on random candidates --------------------
+    QP = len(plan.qidx)
+    n_pairs = QP // qtile
+    R = (n_pairs + 1) * qtile
+    cand_d = rng.random((R, k)).astype(np.float32)
+    cand_s = rng.integers(0, 1000, size=(R, k)).astype(np.int32)
+    item_pair = plan.item_q_start // qtile
+    pair_written = np.zeros(n_pairs + 1, bool)
+    pair_written[item_pair] = True
+    pair_written[n_pairs] = False
+    row_ok = np.repeat(pair_written, qtile)
+    cand_q = np.where(
+        row_ok, np.concatenate([plan.qidx, np.full(qtile, -1, np.int32)]),
+        -1,
+    )
+    # unwritten rows carry +inf in the real kernel output
+    cand_d = np.where(row_ok[:, None], cand_d, np.inf).astype(np.float32)
+    ref_d, ref_s = _merge_candidates(
+        jnp.asarray(cand_d), jnp.asarray(cand_s), jnp.asarray(cand_q),
+        k=k, n_queries=Q,
+    )
+    ok = plan.pair_slot >= 0
+    pair_rows = np.where(ok, plan.pair_slot, n_pairs * qtile)
+    pair_ok = ok & pair_written[np.minimum(pair_rows // qtile, n_pairs)]
+    got_d, got_s = _merge_pairs_dense(
+        jnp.asarray(cand_d), jnp.asarray(cand_s),
+        jnp.asarray(pair_rows.astype(np.int32)), jnp.asarray(pair_ok),
+        k=k, V=V,
+    )
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d))
+    fin = np.isfinite(np.asarray(ref_d))
+    np.testing.assert_array_equal(
+        np.asarray(got_s)[fin], np.asarray(ref_s)[fin]
+    )
+
+
 def test_scan_randomized_configs_match_oracle():
     """Randomized shapes/chunks/k/visit patterns vs the exact oracle
     (seeded; both engines)."""
