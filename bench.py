@@ -230,16 +230,20 @@ def quantize_host_corpus(data, block=1_000_000):
     only int8 bytes cross the host↔device link."""
     import jax.numpy as jnp
 
+    from learnedmetricindex_tpu.ops.quantize import (
+        quantize_with_scales_np,
+        row_scales_np,
+    )
+
     data = np.asarray(data, np.float32)
     n = data.shape[0]
-    row_scales = np.maximum(np.abs(data).max(axis=1), 1e-12) / 127.0
+    row_scales = row_scales_np(data)
     q = np.empty(data.shape, np.int8)
     for s in range(0, n, block):
-        blk = data[s : s + block]
-        q[s : s + block] = np.clip(
-            np.round(blk / row_scales[s : s + block, None]), -127, 127
-        ).astype(np.int8)
-    return jnp.asarray(q), jnp.asarray(row_scales.astype(np.float32))
+        q[s : s + block] = quantize_with_scales_np(
+            data[s : s + block], row_scales[s : s + block]
+        )
+    return jnp.asarray(q), jnp.asarray(row_scales)
 
 
 def main():

@@ -167,12 +167,16 @@ class BucketStore(NamedTuple):
         )
         valid = slot_rows >= 0
 
-        row_scales = np.maximum(np.abs(data).max(axis=1), 1e-12) / 127.0
+        from learnedmetricindex_tpu.ops.quantize import (
+            quantize_with_scales_np,
+            row_scales_np,
+        )
+
+        row_scales = row_scales_np(data)
         flat = np.zeros((padded, d), dtype=np.int8)
-        src = data[slot_rows[valid]]
-        flat[valid] = np.clip(
-            np.round(src / row_scales[slot_rows[valid]][:, None]), -127, 127
-        ).astype(np.int8)
+        flat[valid] = quantize_with_scales_np(
+            data[slot_rows[valid]], row_scales[slot_rows[valid]]
+        )
         slot_scales = np.zeros(padded, dtype=np.float32)
         slot_scales[valid] = row_scales[slot_rows[valid]]
         ids = np.zeros(padded, dtype=np.int32)
@@ -1040,6 +1044,23 @@ def scan_buckets(
                 e,
             )
             ran_pallas = False
+    if not ran_pallas and scan_precision == "int8":
+        # the int8×int8 MXU bulk pass exists only in the Pallas kernel;
+        # running the XLA engine silently at bf16 would misreport the
+        # mode (bench labels, parity claims) — refuse or downgrade loudly
+        if engine != "auto":
+            raise ValueError(
+                "precision='int8' requires the Pallas engine "
+                "(engine='auto' on TPU, or engine='pallas'); the XLA "
+                "engine has no int8 MXU path"
+            )
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "precision='int8' requested but the Pallas engine did not "
+            "run; scanning at DEFAULT (bf16) precision instead"
+        )
+        common["precision"] = "default"
     if ran_pallas:
         LAST_ENGINE = "pallas-fused"
         return np.asarray(dists), np.asarray(ids).astype(np.uint32)

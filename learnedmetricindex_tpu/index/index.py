@@ -356,7 +356,18 @@ class LearnedIndex(Logger):
         else:
             def _repl(a):
                 return jnp.asarray(a)
-        if isinstance(queries_navigation, jax.Array) and not multi:
+        if isinstance(queries_navigation, jax.Array) and (
+            not multi
+            or (
+                queries_navigation.is_fully_replicated
+                and queries_navigation.sharding.device_set
+                == leaf0.sharding.device_set
+            )
+        ):
+            # already device-resident with the right coverage — in the
+            # multi-process case a batch replicated over the same mesh
+            # (e.g. returned by a previous search step) is reused as-is
+            # instead of paying an allgather + re-upload per call
             q = queries_navigation.astype(jnp.float32)
         else:
             from learnedmetricindex_tpu.parallel.multiprocess import (

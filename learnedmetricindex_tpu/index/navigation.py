@@ -207,7 +207,14 @@ def check_best_first_budget(n_queries: int, n_entries: int) -> None:
     configured budget (see :data:`MAX_NAV_STATE_BYTES`) instead of
     silently allocating it.  ``policy="joint"`` (one joint-probability
     ``top_k``, no traversal state) handles arbitrarily wide trees;
-    splitting the query batch is the other way out."""
+    splitting the query batch is the other way out.
+
+    Call this BEFORE materializing the (Q, E) ``entry_probs`` array —
+    the probs themselves are 4/5 of the budget being guarded.  The
+    public path does (``index.compute_bucket_order`` checks before
+    flattening); :func:`best_first_order` re-checks, but by then a
+    caller who built ``entry_probs`` by hand has already paid that
+    allocation."""
     import os
 
     budget = int(

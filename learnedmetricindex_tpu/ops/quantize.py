@@ -16,6 +16,34 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# the ONE definition of the symmetric per-row int8 scheme — the jax
+# path, the host packing path (bucket_store), and the host bench path
+# must agree bit-for-bit or stores desynchronize from oracles
+EPS = 1e-12
+QMAX = 127
+
+
+def row_scales_np(x: np.ndarray) -> np.ndarray:
+    """(n, d) host floats → (n,) f32 per-row scales."""
+    x = np.asarray(x, np.float32)
+    return (np.maximum(np.abs(x).max(axis=1), EPS) / QMAX).astype(np.float32)
+
+
+def quantize_with_scales_np(x: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """(n, d) host floats + (n,) scales → (n, d) int8 (same rounding /
+    clipping as the jitted :func:`quantize_rows`)."""
+    x = np.asarray(x, np.float32)
+    return np.clip(
+        np.round(x / scales[:, None]), -QMAX, QMAX
+    ).astype(np.int8)
+
+
+def quantize_rows_np(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side :func:`quantize_rows`: (n, d) → (int8, (n,) scales)."""
+    scales = row_scales_np(x)
+    return quantize_with_scales_np(x, scales), scales
 
 
 @jax.jit
@@ -23,8 +51,8 @@ def quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(n, d) floats → (int8 values, per-row f32 scales)."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-12) / 127.0
-    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    scale = jnp.maximum(amax, EPS) / QMAX
+    q = jnp.clip(jnp.round(xf / scale), -QMAX, QMAX).astype(jnp.int8)
     return q, scale[..., 0]
 
 

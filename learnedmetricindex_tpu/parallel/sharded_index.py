@@ -37,6 +37,7 @@ from learnedmetricindex_tpu.index.bucket_store import (
     _gather_work_queries,
     _item_topk,
     _merge_pairs_dense,
+    _rerank_exact_slots,
     build_scan_plan,
 )
 
@@ -339,29 +340,6 @@ def _local_topk_sort(cand_d, cand_i, cand_q, Q: int, k: int, cand_s=None):
     return out_d, out_i, out_s
 
 
-def _local_rerank_exact(out_d, out_s, cdata, cscales, queries, k):
-    """Shard-local stage 2: exact HIGHEST-precision distances for the
-    local shortlist only.  Every shortlisted candidate's vector lives in
-    THIS shard's slabs (``out_s`` are local slot indices), so no
-    cross-chip gather is needed — the all-gather after this carries
-    already-exact candidates (cf. the single-chip ``_rerank_exact_slots``,
-    ``bucket_store.py``).  Returns (dists, slots)."""
-    rows = jnp.maximum(out_s, 0)
-    vecs = cdata[rows].astype(jnp.float32)  # (Q, kk, d)
-    vecs = vecs * cscales[rows][..., None]
-    sims = jnp.einsum(
-        "qkd,qd->qk", vecs, queries,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    dd = jnp.where(out_s >= 0, 1.0 - sims, jnp.inf)
-    neg, pos = jax.lax.top_k(-dd, k)
-    out_s_k = jnp.take_along_axis(out_s, pos, axis=1)
-    out_d_k = -neg
-    out_s_k = jnp.where(jnp.isinf(out_d_k), -1, out_s_k)
-    return out_d_k, out_s_k
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -458,8 +436,13 @@ def _run_sharded(
                 V=n_visits,
             )  # k_scan == k when rerank is off
             if rerank:
-                out_d, out_s = _local_rerank_exact(
-                    out_d, out_s, cdata, cscales.reshape(-1), queries, k
+                # shard-local stage 2: every shortlisted vector lives in
+                # THIS shard's slabs, so the exact f32 rerank needs no
+                # cross-chip gather — the all-gather after this carries
+                # already-exact candidates
+                out_d, out_s = _rerank_exact_slots(
+                    out_d, out_s, queries, cdata, cscales.reshape(-1),
+                    k=k,
                 )
             out_i = jnp.where(
                 out_s >= 0, ids_flat[jnp.maximum(out_s, 0)], 0
@@ -500,8 +483,8 @@ def _run_sharded(
                 cd_o.reshape(R, k_scan), slots2d,
                 cq_o.reshape(R), Q, k_scan, cand_s=slots2d,
             )
-            out_d, out_s = _local_rerank_exact(
-                out_d, out_s, cdata, cscales, queries, k
+            out_d, out_s = _rerank_exact_slots(
+                out_d, out_s, queries, cdata, cscales, k=k
             )
             out_i = jnp.where(
                 out_s >= 0, cids.reshape(-1)[jnp.maximum(out_s, 0)], 0
@@ -658,8 +641,27 @@ def sharded_search(
 
     mesh_axes = mesh.axis_names
     dev2 = P(mesh_axes, None)
+    if (
+        isinstance(queries, jax.Array)
+        and queries.is_fully_replicated
+        and queries.sharding.device_set == set(mesh.devices.flat)
+    ):
+        # already replicated over this mesh (repeated-search case):
+        # reuse in place — no host allgather / re-upload
+        q_global = queries.astype(jnp.float32)
+    else:
+        q_global = mp.put_global(
+            np.asarray(
+                mp.to_host_replicated(queries)
+                if isinstance(queries, jax.Array)
+                else queries,
+                dtype=np.float32,
+            ),
+            mesh,
+            P(),
+        )
     dists, ids = _run_sharded(
-        mp.put_global(np.asarray(queries, np.float32), mesh, P()),
+        q_global,
         mp.put_global(qidx, mesh, dev2),
         mp.put_global(item_q_start, mesh, dev2),
         mp.put_global(item_chunk, mesh, dev2),

@@ -71,3 +71,21 @@ def test_quantized_build_and_search_end_to_end():
         n_buckets=3, k=10, store=store,
     )
     assert recall(anns3, gt, 10) > 0.8
+
+def test_host_quantize_matches_jitted():
+    """The host (numpy) quantizer is the single shared definition used
+    by the packed store and the bench corpus upload; it must agree
+    bit-for-bit with the jitted ``quantize_rows``."""
+    from learnedmetricindex_tpu.ops.quantize import quantize_rows_np
+
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal((64, 32)).astype(np.float32)
+    data[0] = 0.0  # eps path
+    q_dev, s_dev = quantize_rows(jnp.asarray(data))
+    q_host, s_host = quantize_rows_np(data)
+    # device float division can differ from the host by 1 ulp, which
+    # may flip a round() at an exact .5 boundary — allow |Δq| ≤ 1 on a
+    # vanishing fraction, nothing more
+    dq = np.abs(np.asarray(q_dev, np.int32) - q_host.astype(np.int32))
+    assert dq.max() <= 1 and (dq > 0).mean() < 0.01
+    np.testing.assert_allclose(np.asarray(s_dev), s_host, rtol=1e-6)
