@@ -160,6 +160,28 @@ class LearnedIndexBuilder(Logger):
                     seeds = (
                         cfg.seed + level * 1_000_003 + eligible
                     ).astype(np.int64)  # same per-node seeds as serial
+                    # Deep-level mesh sharding (the level-0 analog of
+                    # sharded_kmeans): node axis over every device.
+                    # kmeans_nodes replicates the corpus for its
+                    # gathers, so gate on it fitting alongside the
+                    # per-chip store shard; single-process only
+                    # (multiproc corpora take the serial guards above).
+                    node_mesh = None
+                    if self.mesh is not None and len(eligible) > 1:
+                        from learnedmetricindex_tpu.parallel import (
+                            multiprocess as _mp,
+                        )
+
+                        repl_budget = int(
+                            _os.environ.get(
+                                "LMI_NODE_KMEANS_REPL_BYTES", 8 << 30
+                            )
+                        )
+                        if (
+                            not _mp.is_multiprocess(self.mesh)
+                            and self.data.nbytes <= repl_budget
+                        ):
+                            node_mesh = self.mesh
                     lab_b = kmeans_nodes(
                         self.data,
                         parent_gid,
@@ -167,6 +189,7 @@ class LearnedIndexBuilder(Logger):
                         C,
                         seeds=seeds,
                         row_scales=self.row_scales,
+                        mesh=node_mesh,
                     )
                     sel = lab_b >= 0
                     # per-node dense label compaction + class mask —

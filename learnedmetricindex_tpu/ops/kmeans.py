@@ -364,6 +364,60 @@ def _assign_tiles_nodes(x, x_scales, slot_rows, tile_node, centroids, *,
     return labs.reshape(n_tiles * tile)
 
 
+def _assign_tiles_nodes_mesh(
+    x, x_scales, slot_rows, tile_node, centroids, *, tile: int, mesh
+):
+    """Mesh-parallel :func:`_assign_tiles_nodes`: ``lax.scan`` is
+    sequential, so sharding its inputs alone gains nothing — instead
+    each device scans ITS OWN slice of the tile axis under
+    ``shard_map`` (corpus, scales, and the level's centroids replicated
+    per device; no collectives needed, tiles are independent).  The
+    caller pads the tile axis to a multiple of the device count with
+    dummy tiles (``rows == -1`` → label -1)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    flat = mesh.axis_names
+    n_tiles = tile_node.shape[0]
+    assert n_tiles % mesh.devices.size == 0
+
+    def local(tn, srt, x, xs, cents):
+        def body(_, inputs):
+            m, rows = inputs
+            c = cents[m]
+            xt = x[jnp.maximum(rows, 0)].astype(jnp.float32)
+            if xs is not None:
+                xt = xt * xs[jnp.maximum(rows, 0)][:, None]
+            sims = jnp.dot(
+                xt, c.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            c2 = jnp.sum(c * c, axis=1)[None, :]
+            lab = jnp.argmin(c2 - 2.0 * sims, axis=1).astype(jnp.int32)
+            return None, jnp.where(rows >= 0, lab, -1)
+
+        _, labs = jax.lax.scan(body, None, (tn, srt))
+        return labs
+
+    xs_spec = (P(),) if x_scales is not None else ()
+    args = (tile_node, slot_rows.reshape(n_tiles, tile), x) + (
+        (x_scales,) if x_scales is not None else ()
+    ) + (centroids,)
+
+    def wrapped(tn, srt, x, *rest):
+        xs = rest[0] if x_scales is not None else None
+        cents = rest[-1]
+        return local(tn, srt, x, xs, cents)
+
+    fn = shard_map(
+        wrapped,
+        mesh=mesh,
+        in_specs=(P(flat), P(flat), P()) + xs_spec + (P(),),
+        out_specs=P(flat),
+    )
+    return jax.jit(fn)(*args).reshape(n_tiles * tile)
+
+
 def kmeans_nodes(
     data,
     parent_gid: np.ndarray,
@@ -377,6 +431,7 @@ def kmeans_nodes(
     tile: int = 4096,
     node_batch_bytes: int = 1 << 30,
     restarts: int = 4,
+    mesh=None,
 ) -> np.ndarray:
     """Cluster MANY sibling nodes' row sets concurrently — one stacked
     dispatch per node block instead of one k-means job per node (the
@@ -398,6 +453,15 @@ def kmeans_nodes(
 
     Returns ``labels (n,) int32``: cluster label for rows of the given
     nodes, -1 elsewhere.  Deterministic in ``seeds`` (one per node).
+
+    ``mesh`` (optional, single-process): the node axis of the stacked
+    Lloyd's dispatch is sharded over every mesh device (the sibling
+    problems are independent — expert parallelism, no collectives) and
+    the assignment scan runs per-device over its slice of the tile
+    axis.  The corpus is REPLICATED per device for the gathers, so the
+    caller gates this on the corpus fitting alongside its shard (the
+    builder's ``LMI_NODE_KMEANS_REPL_BYTES``).  Per-node math is
+    unchanged — labels are identical with and without a mesh.
     """
     from learnedmetricindex_tpu import native
 
@@ -445,9 +509,26 @@ def kmeans_nodes(
         T *= 2
     T = min(T, cap)
 
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    use_mesh = n_dev > 1
+    if use_mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        flat = mesh.axis_names
+        repl = NamedSharding(mesh, P())
+        node_sh = NamedSharding(mesh, P(flat))
+        # replicate the gather operands once per level (the caller
+        # gates on the corpus fitting replicated)
+        x = jax.device_put(x, repl)
+        if scales_dev is not None:
+            scales_dev = jax.device_put(scales_dev, repl)
+        slot_rows_dev = jax.device_put(slot_rows_dev, repl)
+
     # node blocks sized so the (M_b, T, d) gather stays in budget
     M_b = max(1, int(node_batch_bytes // max(T * d * 4, 1)))
     M_b = min(M_b, M)
+    if use_mesh:  # whole devices per block: pad up to a multiple
+        M_b = -(-M_b // n_dev) * n_dev
     keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
     cent_blocks = []
     for m0 in range(0, M, M_b):
@@ -456,13 +537,22 @@ def kmeans_nodes(
         sel = np.arange(m0, m1)
         if pad:  # pad the block with repeats of node 0 (discarded)
             sel = np.concatenate([sel, np.zeros(pad, np.int64)])
+        block_args = (
+            jnp.asarray(seg_starts[sel]),
+            jnp.asarray(counts[sel].astype(np.int32)),
+            jax.tree.map(lambda a: a[jnp.asarray(sel)], keys),
+        )
+        if use_mesh:
+            # node-sharded block inputs: GSPMD propagation shards the
+            # whole vmapped Lloyd's over the mesh (expert parallel)
+            block_args = jax.tree.map(
+                lambda a: jax.device_put(a, node_sh), block_args
+            )
         cents = _kmeans_nodes_batch(
             x,
             scales_dev,
             slot_rows_dev,
-            jnp.asarray(seg_starts[sel]),
-            jnp.asarray(counts[sel].astype(np.int32)),
-            jax.tree.map(lambda a: a[jnp.asarray(sel)], keys),
+            *block_args,
             T=T,
             n_clusters=C,
             n_iters=n_iters,
@@ -473,12 +563,28 @@ def kmeans_nodes(
         cent_blocks[0]
     )
 
-    labs = np.asarray(
-        _assign_tiles_nodes(
-            x, scales_dev, slot_rows_dev, jnp.asarray(tile_node),
-            centroids, tile=tile,
+    if use_mesh:
+        pad_tiles = (-len(tile_node)) % n_dev
+        srd = slot_rows_dev
+        tn = tile_node
+        if pad_tiles:  # dummy tiles: node 0, rows -1 → label -1
+            tn = np.concatenate([tile_node, np.zeros(pad_tiles, np.int32)])
+            srd = jnp.concatenate(
+                [srd, jnp.full(pad_tiles * tile, -1, srd.dtype)]
+            )
+        labs = np.asarray(
+            _assign_tiles_nodes_mesh(
+                x, scales_dev, srd, jnp.asarray(tn),
+                jax.device_put(centroids, repl), tile=tile, mesh=mesh,
+            )
+        )[:S]
+    else:
+        labs = np.asarray(
+            _assign_tiles_nodes(
+                x, scales_dev, slot_rows_dev, jnp.asarray(tile_node),
+                centroids, tile=tile,
+            )
         )
-    )
     labels = np.full(n, -1, dtype=np.int32)
     valid = slot_rows >= 0
     labels[slot_rows[valid]] = labs[valid]

@@ -130,6 +130,16 @@ FULL_FLOW_WORKER = textwrap.dedent(
     _, gt = exact_knn(data, queries, k=10)
     r = recall(ii, gt, 10)
     assert r == 1.0, r
+
+    # repeated-search case: a query batch already replicated over the
+    # global mesh is reused in place (no per-call allgather/re-upload)
+    # and must give identical results
+    gq = mp.put_global(queries.astype(np.float32), mesh, P())
+    dd2, ii2, _ = index.search(
+        gdata, gq, gdata, gq, pred, None,
+        n_buckets=nb, k=10, store=store,
+    )
+    np.testing.assert_array_equal(np.asarray(ii2), np.asarray(ii))
     print(f"proc {{pid}} full-flow OK recall={{r}}", flush=True)
     print(f"proc {{pid}} OK", flush=True)
     """
