@@ -364,24 +364,19 @@ def _assign_tiles_nodes(x, x_scales, slot_rows, tile_node, centroids, *,
     return labs.reshape(n_tiles * tile)
 
 
-def _assign_tiles_nodes_mesh(
-    x, x_scales, slot_rows, tile_node, centroids, *, tile: int, mesh
-):
-    """Mesh-parallel :func:`_assign_tiles_nodes`: ``lax.scan`` is
-    sequential, so sharding its inputs alone gains nothing — instead
-    each device scans ITS OWN slice of the tile axis under
-    ``shard_map`` (corpus, scales, and the level's centroids replicated
-    per device; no collectives needed, tiles are independent).  The
-    caller pads the tile axis to a multiple of the device count with
-    dummy tiles (``rows == -1`` → label -1)."""
+@functools.lru_cache(maxsize=None)
+def _assign_tiles_nodes_mesh_fn(mesh, tile: int, has_scales: bool):
+    """One jitted shard_map program per (mesh, tile, scales?) — the
+    closure would otherwise re-trace on every builder level."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     flat = mesh.axis_names
-    n_tiles = tile_node.shape[0]
-    assert n_tiles % mesh.devices.size == 0
 
-    def local(tn, srt, x, xs, cents):
+    def local(tn, srt, x, *rest):
+        xs = rest[0] if has_scales else None
+        cents = rest[-1]
+
         def body(_, inputs):
             m, rows = inputs
             c = cents[m]
@@ -399,23 +394,35 @@ def _assign_tiles_nodes_mesh(
         _, labs = jax.lax.scan(body, None, (tn, srt))
         return labs
 
-    xs_spec = (P(),) if x_scales is not None else ()
+    xs_spec = (P(),) if has_scales else ()
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(flat), P(flat), P()) + xs_spec + (P(),),
+            out_specs=P(flat),
+        )
+    )
+
+
+def _assign_tiles_nodes_mesh(
+    x, x_scales, slot_rows, tile_node, centroids, *, tile: int, mesh
+):
+    """Mesh-parallel :func:`_assign_tiles_nodes`: ``lax.scan`` is
+    sequential, so sharding its inputs alone gains nothing — instead
+    each device scans ITS OWN slice of the tile axis under
+    ``shard_map`` (corpus, scales, and the level's centroids replicated
+    per device; no collectives needed, tiles are independent).  The
+    caller pads the tile axis to a multiple of the device count with
+    dummy tiles (``rows == -1`` → label -1)."""
+    n_tiles = tile_node.shape[0]
+    assert n_tiles % mesh.devices.size == 0
+
+    fn = _assign_tiles_nodes_mesh_fn(mesh, tile, x_scales is not None)
     args = (tile_node, slot_rows.reshape(n_tiles, tile), x) + (
         (x_scales,) if x_scales is not None else ()
     ) + (centroids,)
-
-    def wrapped(tn, srt, x, *rest):
-        xs = rest[0] if x_scales is not None else None
-        cents = rest[-1]
-        return local(tn, srt, x, xs, cents)
-
-    fn = shard_map(
-        wrapped,
-        mesh=mesh,
-        in_specs=(P(flat), P(flat), P()) + xs_spec + (P(),),
-        out_specs=P(flat),
-    )
-    return jax.jit(fn)(*args).reshape(n_tiles * tile)
+    return fn(*args).reshape(n_tiles * tile)
 
 
 def kmeans_nodes(

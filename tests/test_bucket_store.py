@@ -284,3 +284,39 @@ def test_scan_randomized_configs_match_oracle():
                 err_msg=f"trial={trial} engine={engine}",
             )
             assert recall(ii[:, : ref_i.shape[1]], ref_i, ref_i.shape[1]) == 1.0
+
+
+def test_int8_precision_downgrades_loudly_without_pallas(caplog):
+    """precision='int8' exists only in the Pallas kernel.  With
+    engine='auto' off-TPU the scan must WARN and run at bf16 (not
+    silently misreport the mode); forcing the XLA engine must raise."""
+    import logging
+
+    import pytest
+
+    from learnedmetricindex_tpu.index.bucket_store import (
+        BucketStore,
+        scan_buckets,
+    )
+
+    data, queries = synthetic_blobs(2000, 16, 8, n_clusters=4, seed=9)
+    bids = np.random.default_rng(0).integers(0, 4, 2000).astype(np.int32)
+    store = BucketStore.build_packed_int8(data, bids, n_buckets=4, chunk=256)
+    order = np.tile(np.arange(4, dtype=np.int32), (8, 1))
+
+    with caplog.at_level(
+        logging.WARNING, logger="learnedmetricindex_tpu.index.bucket_store"
+    ):
+        d, i = scan_buckets(
+            store, np.asarray(queries, np.float32), order, k=5,
+            precision="int8", engine="auto",
+        )
+    assert any("DEFAULT (bf16)" in r.message for r in caplog.records)
+    _, gt = exact_knn(data, queries, k=5)
+    assert recall(i, gt, 5) > 0.9
+
+    with pytest.raises(ValueError, match="requires the Pallas engine"):
+        scan_buckets(
+            store, np.asarray(queries, np.float32), order, k=5,
+            precision="int8", engine="xla",
+        )
