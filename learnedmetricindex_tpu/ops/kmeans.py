@@ -519,6 +519,17 @@ def kmeans_nodes(
     n_dev = int(mesh.devices.size) if mesh is not None else 1
     use_mesh = n_dev > 1
     if use_mesh:
+        from learnedmetricindex_tpu.parallel import multiprocess as _mp
+
+        if _mp.is_multiprocess(mesh):
+            # replication here is plain device_put (single controller);
+            # fail with intent instead of a non-addressable-device error
+            raise ValueError(
+                "kmeans_nodes(mesh=...) is single-process only (it "
+                "replicates the corpus with device_put); on a "
+                "multi-process mesh run the serial per-node path — the "
+                "builder gates this automatically"
+            )
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         flat = mesh.axis_names
