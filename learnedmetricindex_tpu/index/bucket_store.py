@@ -651,26 +651,36 @@ def _merge_candidates(
     return out_d, out_i
 
 
+def _pack_plan_blob(qidx, item_pair, item_chunk, w_real, pair_rows, pair_ok):
+    """All per-call host plan arrays as ONE int32 buffer.  Six separate
+    host→device uploads each pay a relay round-trip; one ~400 KB blob
+    pays one, and the jitted scan slices it back out for free (static
+    offsets — the program already specializes on these shapes)."""
+    return np.concatenate([
+        np.asarray(qidx, np.int32),
+        np.asarray(item_pair, np.int32),
+        np.asarray(item_chunk, np.int32),
+        np.asarray(w_real, np.int32).reshape(-1),
+        np.asarray(pair_rows, np.int32),
+        np.asarray(pair_ok, np.int32),
+    ])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k_scan", "k", "qtile", "chunk", "n_pairs", "compute",
+        "W", "k_scan", "k", "qtile", "chunk", "n_pairs", "compute",
         "interpret", "rerank", "n_visits", "gate",
     ),
 )
 def _scan_fused_pallas(
-    work_queries,  # (QP, d) f32, QP = n_pairs * qtile
-    qidx,  # (QP,) int32
-    item_pair,  # (W,) int32
-    item_chunk,  # (W,) int32
-    w_real,  # (1,) int32
+    plan_blob,  # (QP + 2W + 1 + 2QV,) int32 — see _pack_plan_blob
     chunk_data,  # (n_slots, d) packed store
     scales_flat,  # (n_slots,) f32, 0.0 = pad slot
     ids_flat,  # (n_slots,) int32 1-based object ids
-    pair_rows,  # (Q*V,) int32 candidate row of each (query, visit)
-    pair_ok,  # (Q*V,) bool: visit exists AND its pair was written
-    queries_all,  # (Q, d) f32 (rerank)
+    queries_all,  # (Q, d) f32
     *,
+    W: int,
     k_scan: int,
     k: int,
     qtile: int,
@@ -682,11 +692,22 @@ def _scan_fused_pallas(
     n_visits: int,
     gate: str = "count",
 ):
-    """The whole Pallas-engine scan — kernel, id resolution, sort merge,
-    optional exact rerank — as ONE jitted dispatch.  Issuing these as
-    separate device calls costs one relay round-trip each on the remote
-    TPU (the dominant per-search fixed overhead once phase 1 is fast)."""
+    """The whole Pallas-engine scan — query-tile gather, kernel, dense
+    merge, optional exact rerank, id resolution — as ONE jitted
+    dispatch over ONE uploaded plan blob.  Issuing these as separate
+    device calls costs one relay round-trip each on the remote TPU (the
+    dominant per-search fixed overhead once phase 1 is fast)."""
     from learnedmetricindex_tpu.ops.scan_kernel import pallas_scan_pairs
+
+    QP = n_pairs * qtile
+    QV = queries_all.shape[0] * n_visits
+    qidx = plan_blob[:QP]
+    item_pair = plan_blob[QP : QP + W]
+    item_chunk = plan_blob[QP + W : QP + 2 * W]
+    w_real = plan_blob[QP + 2 * W : QP + 2 * W + 1]
+    pair_rows = plan_blob[QP + 2 * W + 1 : QP + 2 * W + 1 + QV]
+    pair_ok = plan_blob[QP + 2 * W + 1 + QV :] != 0
+    work_queries = _gather_work_queries(queries_all, qidx)
 
     qscale2d = None
     if compute == "int8":
@@ -964,11 +985,7 @@ def scan_buckets(
         k=k_scan, qtile=qtile, items_per_step=items_per_step,
         precision=scan_precision, approx_recall=approx_recall,
     )
-    # pre-gather the per-slot query rows once (each query tile is reused
-    # by every chunk of its bucket; per-item gathers would re-fetch)
     q_dev_all = jnp.asarray(queries)
-    qidx_dev = jnp.asarray(qidx)
-    work_queries = _gather_work_queries(q_dev_all, qidx_dev)
 
     global LAST_ENGINE
     use_pallas = engine == "pallas" or (
@@ -998,19 +1015,18 @@ def scan_buckets(
             pair_ok = ok & pair_written[
                 np.minimum(pair_rows // qtile, n_pairs)
             ]
-            # kernel + merge + rerank + id resolve in ONE dispatch
+            # kernel + merge + rerank + id resolve in ONE dispatch over
+            # ONE uploaded plan blob (six small uploads → one)
+            blob = _pack_plan_blob(
+                qidx, item_pair, item_chunk_p, w_real, pair_rows, pair_ok
+            )
             dists, ids = _scan_fused_pallas(
-                work_queries,
-                qidx_dev,
-                jnp.asarray(item_pair),
-                jnp.asarray(item_chunk_p),
-                jnp.asarray(w_real),
+                jnp.asarray(blob),
                 store.chunk_data,
                 scales_flat,
                 store.chunk_ids.reshape(-1),
-                jnp.asarray(pair_rows.astype(np.int32)),
-                jnp.asarray(pair_ok),
                 q_dev_all,
+                W=len(item_pair),
                 k_scan=k_scan,
                 k=k,
                 qtile=qtile,
@@ -1064,7 +1080,9 @@ def scan_buckets(
     if ran_pallas:
         LAST_ENGINE = "pallas-fused"
         return np.asarray(dists), np.asarray(ids).astype(np.uint32)
-    elif store.chunk_data is not None:
+    qidx_dev = jnp.asarray(qidx)
+    work_queries = _gather_work_queries(q_dev_all, qidx_dev)
+    if store.chunk_data is not None:
         LAST_ENGINE = "xla"
         cand_d, cand_i, cand_q = _scan_items(
             work_queries,
