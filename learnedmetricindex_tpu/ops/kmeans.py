@@ -368,8 +368,11 @@ def _assign_tiles_nodes(x, x_scales, slot_rows, tile_node, centroids, *,
 def _assign_tiles_nodes_mesh_fn(mesh, tile: int, has_scales: bool):
     """One jitted shard_map program per (mesh, tile, scales?) — the
     closure would otherwise re-trace on every builder level."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    from learnedmetricindex_tpu.parallel.mesh import get_shard_map
+
+    shard_map = get_shard_map()
 
     flat = mesh.axis_names
 

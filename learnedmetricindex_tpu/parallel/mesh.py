@@ -54,3 +54,15 @@ def create_mesh(
     n = len(devices)
     dp, mp = data_model_axes(n, model_axis)
     return Mesh(np.asarray(devices).reshape(dp, mp), ("data", "model"))
+
+
+def get_shard_map():
+    """``jax.shard_map`` with a fallback to the pre-0.8 experimental
+    location — the single import point so call sites don't each carry
+    the deprecation dance."""
+    try:
+        return jax.shard_map
+    except AttributeError:  # jax < 0.8
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map
