@@ -106,7 +106,14 @@ def _demo_two_local_processes() -> None:
         )
         for pid in range(2)
     ]
-    rcs = [p.wait(timeout=600) for p in procs]
+    try:
+        rcs = [p.wait(timeout=600) for p in procs]
+    finally:
+        # one worker dying pre-handshake leaves its sibling blocked in
+        # jax.distributed.initialize — never orphan it
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     if any(rcs):
         raise SystemExit(f"worker exit codes: {rcs}")
     print("multi-host demo OK")

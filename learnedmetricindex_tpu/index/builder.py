@@ -167,7 +167,7 @@ class LearnedIndexBuilder(Logger):
                     # per-chip store shard; single-process only
                     # (multiproc corpora take the serial guards above).
                     node_mesh = None
-                    if self.mesh is not None and len(eligible) > 1:
+                    if self.mesh is not None:
                         from learnedmetricindex_tpu.parallel import (
                             multiprocess as _mp,
                         )

@@ -337,14 +337,11 @@ def _kmeans_nodes_batch(
     return jax.vmap(per_node)(xs, keys)
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def _assign_tiles_nodes(x, x_scales, slot_rows, tile_node, centroids, *,
-                        tile: int):
-    """Per-slot nearest-centroid label under the slot's own node's
-    centroids — one ``lax.scan`` over tiles (the clustering analog of
-    ``models/train._predict_own_tiles``)."""
-    n_tiles = tile_node.shape[0]
-    srt = slot_rows.reshape(n_tiles, tile)
+def _node_tile_scan(tile_node, slot_rows_2d, x, x_scales, centroids):
+    """The per-tile nearest-centroid body shared by the single-device
+    and mesh assignment paths (their label parity rests on this being
+    literally the same code): ``lax.scan`` over tiles, each slot row
+    labeled under its tile's node centroids; ``rows == -1`` → -1."""
 
     def body(_, inputs):
         m, rows = inputs
@@ -360,7 +357,19 @@ def _assign_tiles_nodes(x, x_scales, slot_rows, tile_node, centroids, *,
         lab = jnp.argmin(c2 - 2.0 * sims, axis=1).astype(jnp.int32)
         return None, jnp.where(rows >= 0, lab, -1)
 
-    _, labs = jax.lax.scan(body, None, (tile_node, srt))
+    _, labs = jax.lax.scan(body, None, (tile_node, slot_rows_2d))
+    return labs
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _assign_tiles_nodes(x, x_scales, slot_rows, tile_node, centroids, *,
+                        tile: int):
+    """Per-slot nearest-centroid label under the slot's own node's
+    centroids — one ``lax.scan`` over tiles (the clustering analog of
+    ``models/train._predict_own_tiles``)."""
+    n_tiles = tile_node.shape[0]
+    srt = slot_rows.reshape(n_tiles, tile)
+    labs = _node_tile_scan(tile_node, srt, x, x_scales, centroids)
     return labs.reshape(n_tiles * tile)
 
 
@@ -379,23 +388,7 @@ def _assign_tiles_nodes_mesh_fn(mesh, tile: int, has_scales: bool):
     def local(tn, srt, x, *rest):
         xs = rest[0] if has_scales else None
         cents = rest[-1]
-
-        def body(_, inputs):
-            m, rows = inputs
-            c = cents[m]
-            xt = x[jnp.maximum(rows, 0)].astype(jnp.float32)
-            if xs is not None:
-                xt = xt * xs[jnp.maximum(rows, 0)][:, None]
-            sims = jnp.dot(
-                xt, c.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            c2 = jnp.sum(c * c, axis=1)[None, :]
-            lab = jnp.argmin(c2 - 2.0 * sims, axis=1).astype(jnp.int32)
-            return None, jnp.where(rows >= 0, lab, -1)
-
-        _, labs = jax.lax.scan(body, None, (tn, srt))
-        return labs
+        return _node_tile_scan(tn, srt, x, xs, cents)
 
     xs_spec = (P(),) if has_scales else ()
     return jax.jit(

@@ -66,3 +66,23 @@ def get_shard_map():
         from jax.experimental.shard_map import shard_map
 
         return shard_map
+
+
+def shard_map_nocheck(local, mesh, in_specs, out_specs):
+    """``shard_map`` with replication checking off, the disable kwarg
+    probed per jax version (``check_vma`` today, ``check_rep`` before)
+    — for bodies whose outputs carry no replication info (pallas calls,
+    ``psum_scatter`` results)."""
+    import inspect
+
+    shard_map = get_shard_map()
+    params = inspect.signature(shard_map).parameters
+    if "check_vma" in params:
+        kwargs = {"check_vma": False}
+    elif "check_rep" in params:  # pragma: no cover - older jax
+        kwargs = {"check_rep": False}
+    else:  # pragma: no cover
+        kwargs = {}
+    return shard_map(
+        local, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kwargs
+    )

@@ -51,26 +51,9 @@ def _flat_axis_index(mesh):
     return idx
 
 
-def _shard_map_fn(local, mesh, in_specs, out_specs):
-    """shard_map with the check_rep/check_vma kwarg probed per jax
-    version (pallas/psum_scatter outputs carry no replication info)."""
-    import inspect
-
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
-
-    params = inspect.signature(shard_map).parameters
-    if "check_vma" in params:
-        kwargs = {"check_vma": False}
-    elif "check_rep" in params:  # pragma: no cover - older jax
-        kwargs = {"check_rep": False}
-    else:  # pragma: no cover
-        kwargs = {}
-    return shard_map(
-        local, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kwargs
-    )
+from learnedmetricindex_tpu.parallel.mesh import (  # noqa: E402
+    shard_map_nocheck as _shard_map_fn,
+)
 
 
 def _fill_from_sharded_corpus(data, ids_grid, mesh):
