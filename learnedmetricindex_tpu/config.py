@@ -133,6 +133,20 @@ class BuildConfiguration:
         )
         for algo in algos:
             assert algo in SUPPORTED_CLUSTERINGS, f"Unknown clustering algorithm: {algo}"
+        from learnedmetricindex_tpu.models.mlp import MLP_REGISTRY
+
+        models = (
+            model_types
+            if isinstance(model_types, (list, tuple))
+            else [model_types]
+        )
+        for m in models:
+            # fail at config time, not mid-build (the reference defers to
+            # a torch KeyError inside Model.__init__, ``model.py:89-99``)
+            assert m in MLP_REGISTRY, (
+                f"Unknown model type: {m} (supported: "
+                f"{sorted(MLP_REGISTRY)})"
+            )
 
     def to_dict(self) -> dict:
         return {

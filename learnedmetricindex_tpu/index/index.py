@@ -467,6 +467,14 @@ class LearnedIndex(Logger):
             "seq_search": 0.0,
             "sort": 0.0,
         }
+        if len(queries_navigation) == 0:
+            # the navigation forward and the scan-plan gathers both
+            # assume >= 1 query; an empty batch is a valid no-op
+            return (
+                np.zeros((0, k), np.float32),
+                np.zeros((0, k), np.uint32),
+                measured,
+            )
         s = time.perf_counter()
 
         order, measured["inference"] = self.compute_bucket_order(

@@ -68,3 +68,33 @@ def test_tiny_two_level_tree():
     )
     _, gt = exact_knn(data, data[:5], k=5)
     assert recall(ids, gt, 5) == 1.0
+
+
+def test_zero_query_batch():
+    """An empty query batch is a valid no-op: (0, k) results, no
+    navigation/scan dispatch (the gathers assume >= 1 query)."""
+    data, index, pred, nb = _build(16)
+    q = np.zeros((0, data.shape[1]), np.float32)
+    dists, ids, times = index.search(
+        data, q, data, q, pred, None, n_buckets=nb, k=5
+    )
+    assert dists.shape == (0, 5) and ids.shape == (0, 5)
+    assert ids.dtype == np.uint32
+    assert set(times) == {
+        "inference", "search", "search_within_buckets", "seq_search",
+        "sort",
+    }
+
+
+def test_unknown_model_type_rejected_at_config():
+    """Unknown model names fail at BuildConfiguration time with the
+    supported list, not mid-build (the reference defers to a torch
+    KeyError in ``Model.__init__``, ``model.py:89-99``)."""
+    import pytest
+
+    with pytest.raises(AssertionError, match="Unknown model type"):
+        lmi.BuildConfiguration("kmeans", 5, "MLP-99", 0.01, [4])
+    with pytest.raises(AssertionError, match="Unknown model type"):
+        lmi.BuildConfiguration(
+            ["kmeans"], [5], ["MLP", "nope"], [0.01], [2, 2]
+        )
