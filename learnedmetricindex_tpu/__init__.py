@@ -36,6 +36,11 @@ _LAZY = {
         "LearnedIndexBuilder",
     ),
     "LearnedIndex": ("learnedmetricindex_tpu.index.index", "LearnedIndex"),
+    # reference-API model wrapper (``search/li/model.py:130-241``)
+    "NeuralNetwork": (
+        "learnedmetricindex_tpu.models.train",
+        "NeuralNetwork",
+    ),
 }
 
 
@@ -75,6 +80,7 @@ __all__ = [
     "Baseline",
     "LearnedIndexBuilder",
     "LearnedIndex",
+    "NeuralNetwork",
     "enable_compilation_cache",
     "__version__",
 ]

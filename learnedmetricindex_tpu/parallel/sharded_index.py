@@ -545,6 +545,14 @@ def sharded_search(
     0``), else the XLA scan body; "pallas"/"xla" force one (Pallas runs
     in interpret mode off-TPU).
     """
+    if precision not in ("highest", "default"):
+        # notably "int8": the int8×int8 MXU bulk pass exists only in the
+        # single-chip fused engine — running bf16 here while reporting
+        # int8 would misstate the mode (bench labels, parity claims)
+        raise ValueError(
+            "sharded_search supports precision='highest' or 'default'; "
+            f"got {precision!r}"
+        )
     mesh = sharded.mesh
     n_dev = mesh.devices.size
     order = np.asarray(bucket_order)

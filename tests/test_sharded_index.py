@@ -202,3 +202,13 @@ def test_sharded_rerank_int8_matches_dequantized_oracle():
     ref_d, ref_i = exact_knn(deq, queries, k=10)
     assert recall(ids, ref_i, 10) >= 0.999
     np.testing.assert_allclose(dists, ref_d, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_search_rejects_int8_precision(setup):
+    """The int8 MXU bulk pass exists only in the single-chip fused
+    engine; the sharded path must refuse rather than silently run bf16
+    while the caller believes the mode is int8."""
+    data, queries, bucket_ids, mesh, sharded = setup
+    order = np.tile(np.arange(4, dtype=np.int64), (50, 1))
+    with pytest.raises(ValueError, match="precision"):
+        sharded_search(sharded, queries, order, k=5, precision="int8")
