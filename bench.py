@@ -459,7 +459,7 @@ def main():
             try:
                 sv, av, _ = timed_search(
                     index, queries, pred, v, store, approx,
-                    args.rerank_margin, 1, precision=precision,
+                    args.rerank_margin, 2, precision=precision,
                     rerank=rerank,
                 )
             except Exception as e:  # e.g. HBM OOM at large visit counts
@@ -491,7 +491,7 @@ def main():
             try:
                 sv, av, _ = timed_search(
                     two_index, queries, two_pred, v, store2, approx,
-                    args.rerank_margin, 1, precision=precision,
+                    args.rerank_margin, 2, precision=precision,
                     rerank=rerank,
                 )
             except Exception as e:

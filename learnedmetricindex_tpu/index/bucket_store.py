@@ -44,6 +44,32 @@ import numpy as np
 # the gate alone can be wrong.
 LAST_ENGINE: str = "none"
 
+# Sticky compiled-shape hints per (store, qtile): the fused engine's
+# static shapes (n_pairs, W) derive from the navigation outcome, so
+# every query batch would otherwise compile a fresh program whenever
+# its raw sizes cross a ⅛-octave boundary.  Remembering the largest
+# shape already compiled and padding up to it makes steady-state
+# serving compile-free: shapes only grow, and only when a batch truly
+# exceeds everything seen before.  Keyed by id() of the store's id
+# grid (NamedTuple stores aren't hashable); a stale id collision after
+# GC merely yields one suboptimal padding choice, never a wrong result.
+_SHAPE_HINTS: dict = {}
+_SHAPE_HINTS_MAX = 256
+
+
+def _sticky_quantize(key, name: str, size: int, multiple: int) -> int:
+    """⅛-octave-quantize ``size``, but reuse the largest value already
+    compiled for ``key`` when it still fits (see ``_SHAPE_HINTS``)."""
+    if len(_SHAPE_HINTS) > _SHAPE_HINTS_MAX:
+        _SHAPE_HINTS.clear()
+    hints = _SHAPE_HINTS.setdefault(key, {})
+    q = _quantize(size, multiple)
+    prev = hints.get(name, 0)
+    if prev >= size:
+        return prev
+    hints[name] = q
+    return q
+
 
 class BucketStore(NamedTuple):
     """Either *packed* (``chunk_data`` holds the vectors, padded) or
@@ -975,7 +1001,8 @@ def scan_buckets(
     item_valid[:W] = True
 
     qidx = plan.qidx
-    QP = _quantize(max(len(qidx), 1), qtile)
+    hint_key = (id(store.chunk_ids), qtile)
+    QP = _sticky_quantize(hint_key, "QP", max(len(qidx), 1), qtile)
     if QP != len(qidx):
         qidx = np.concatenate(
             [qidx, np.full(QP - len(qidx), -1, dtype=np.int32)]
@@ -1008,6 +1035,20 @@ def scan_buckets(
             item_pair, item_chunk_p, w_real, scales_flat, pair_written = (
                 pallas_host_args(store, plan, qtile, n_pairs)
             )
+            # Sticky-pad the item axis like QP above: the raw W is
+            # data-dependent (navigation outcome), so without padding
+            # EVERY new query batch recompiles the fused program.
+            # Padding items point at the dummy pair / chunk 0 and are
+            # skipped by the kernel's ``i < w_real`` gate.
+            Wq = _sticky_quantize(hint_key, "W", len(item_pair), 8)
+            if Wq != len(item_pair):
+                pad = Wq - len(item_pair)
+                item_pair = np.concatenate(
+                    [item_pair, np.full(pad, n_pairs, np.int32)]
+                )
+                item_chunk_p = np.concatenate(
+                    [item_chunk_p, np.zeros(pad, np.int32)]
+                )
             # dense-merge map: (query, visit) → candidate row; invalid
             # visits point at the never-written overflow tile
             ok = plan.pair_slot >= 0

@@ -567,8 +567,18 @@ def sharded_search(
         )
         plans.append(build_scan_plan(sharded.sub_stores[dev], local, qtile=qtile))
 
-    W_max = max(max(len(p.item_chunk) for p in plans), 1)
-    QP_max = max(max(len(p.qidx) for p in plans), qtile)
+    from learnedmetricindex_tpu.index.bucket_store import _sticky_quantize
+
+    # Sticky-pad both data-dependent axes (cf. scan_buckets): raw
+    # W_max/QP_max change with every navigation outcome, and unpadded
+    # they would recompile the sharded program per query batch
+    hint_key = (id(sharded.chunk_ids), qtile)
+    W_max = _sticky_quantize(
+        hint_key, "W", max(max(len(p.item_chunk) for p in plans), 1), 8
+    )
+    QP_max = _sticky_quantize(
+        hint_key, "QP", max(max(len(p.qidx) for p in plans), qtile), qtile
+    )
     assert QP_max % qtile == 0
     n_pairs = QP_max // qtile
     item_q_start = np.zeros((n_dev, W_max), np.int32)

@@ -320,3 +320,68 @@ def test_int8_precision_downgrades_loudly_without_pallas(caplog):
             store, np.asarray(queries, np.float32), order, k=5,
             precision="int8", engine="xla",
         )
+
+
+def test_pallas_work_list_is_octave_quantized(monkeypatch):
+    """The fused engine's static work-list length must be the
+    ⅛-octave-padded W, not the raw data-dependent one — otherwise every
+    new query batch (a new navigation outcome → new raw W) recompiles
+    the whole fused program."""
+    import numpy as np
+    import learnedmetricindex_tpu.index.bucket_store as bs
+    from learnedmetricindex_tpu.data import synthetic_blobs
+
+    data, queries = synthetic_blobs(300, 8, 12, seed=0)
+    rng = np.random.default_rng(0)
+    bucket_ids = rng.integers(0, 5, size=300)
+    store = bs.BucketStore.build(data, bucket_ids, 5, chunk=16)
+    order = np.tile(np.arange(5, dtype=np.int64), (12, 1))
+
+    seen = {}
+    real = bs._scan_fused_pallas
+
+    def spy(*args, **kw):
+        seen["W"] = kw["W"]
+        return real(*args, **kw)
+
+    monkeypatch.setattr(bs, "_scan_fused_pallas", spy)
+    bs.scan_buckets(store, queries, order, k=5, engine="pallas", qtile=8)
+    assert seen["W"] % 8 == 0
+    assert seen["W"] == bs._quantize(seen["W"], 8)
+
+
+def test_fused_shapes_sticky_across_batches(monkeypatch):
+    """A second batch whose raw work list is SMALLER must reuse the
+    store's previously compiled (QP, W) — steady-state serving stays
+    compile-free instead of re-jitting per navigation outcome."""
+    import numpy as np
+    import learnedmetricindex_tpu.index.bucket_store as bs
+    from learnedmetricindex_tpu.data import synthetic_blobs
+
+    data, queries = synthetic_blobs(600, 8, 16, seed=1)
+    rng = np.random.default_rng(1)
+    # uneven buckets so different visit sets give different raw W
+    bucket_ids = np.clip(rng.integers(0, 8, size=600), 0, 5)
+    store = bs.BucketStore.build(data, bucket_ids, 6, chunk=16)
+
+    seen = []
+    real = bs._scan_fused_pallas
+
+    def spy(*args, **kw):
+        seen.append((kw["n_pairs"], kw["W"]))
+        return real(*args, **kw)
+
+    monkeypatch.setattr(bs, "_scan_fused_pallas", spy)
+    big = np.tile(np.arange(6, dtype=np.int64), (16, 1))[:, :3]
+    small = np.tile(np.array([1, 2, 3], dtype=np.int64), (16, 1))
+    d1, i1 = bs.scan_buckets(store, queries, big, k=5, engine="pallas",
+                             qtile=8)
+    d2, i2 = bs.scan_buckets(store, queries, small, k=5, engine="pallas",
+                             qtile=8)
+    assert seen[1] == seen[0], seen
+    # padded shapes must not change results: compare vs the XLA engine
+    d2x, i2x = bs.scan_buckets(store, queries, small, k=5, engine="xla",
+                               qtile=8)
+    np.testing.assert_allclose(d2, d2x, rtol=1e-4, atol=1e-5)
+    fin = np.isfinite(d2x)
+    np.testing.assert_array_equal(i2[fin], i2x[fin])
