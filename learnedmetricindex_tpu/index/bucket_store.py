@@ -1001,7 +1001,10 @@ def scan_buckets(
     item_valid[:W] = True
 
     qidx = plan.qidx
-    hint_key = (id(store.chunk_ids), qtile)
+    # keyed by visit count too: n_visits is its own jit static, so
+    # cross-V hint sharing could never save a compile — it would only
+    # pad a small-V call up to a large-V work list
+    hint_key = (id(store.chunk_ids), qtile, np.asarray(bucket_order).shape[1])
     QP = _sticky_quantize(hint_key, "QP", max(len(qidx), 1), qtile)
     if QP != len(qidx):
         qidx = np.concatenate(

@@ -572,7 +572,7 @@ def sharded_search(
     # Sticky-pad both data-dependent axes (cf. scan_buckets): raw
     # W_max/QP_max change with every navigation outcome, and unpadded
     # they would recompile the sharded program per query batch
-    hint_key = (id(sharded.chunk_ids), qtile)
+    hint_key = (id(sharded.chunk_ids), qtile, order.shape[1])
     W_max = _sticky_quantize(
         hint_key, "W", max(max(len(p.item_chunk) for p in plans), 1), 8
     )
