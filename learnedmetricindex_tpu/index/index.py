@@ -475,6 +475,51 @@ class LearnedIndex(Logger):
                 np.zeros((0, k), np.uint32),
                 measured,
             )
+        # Serving-stability: the query count is a traced SHAPE, so a
+        # batch of 487 after a batch of 512 would recompile navigation,
+        # scan, and merge.  Pad host batches to a ⅛-octave boundary by
+        # REPEATING row 0 — the pad queries follow row 0's navigation
+        # path, so they join its scan tiles instead of adding work —
+        # and slice the results.  Device-array callers (multi-process
+        # global batches) manage their own shapes and are not touched.
+        n_q = len(queries_navigation)
+        pad_q = 0
+        if (
+            isinstance(queries_navigation, np.ndarray)
+            and isinstance(queries_search, np.ndarray)
+        ):
+            from learnedmetricindex_tpu.index.bucket_store import (
+                _SHAPE_HINTS,
+                _quantize,
+            )
+
+            # sticky: the first batch runs at its exact size (a fixed-Q
+            # workload never pads); later batches pad up to the largest
+            # compiled Q, growing octave-quantized only when exceeded
+            hints = _SHAPE_HINTS.setdefault(("searchQ", id(self)), {})
+            prev = hints.get("Q", 0)
+            if n_q <= prev:
+                q_cap = prev
+            elif prev == 0:
+                q_cap = n_q
+            else:
+                q_cap = _quantize(n_q, 8)
+            hints["Q"] = q_cap
+            pad_q = q_cap - n_q
+            if pad_q:
+                queries_navigation = np.concatenate([
+                    queries_navigation,
+                    np.broadcast_to(
+                        queries_navigation[:1],
+                        (pad_q, queries_navigation.shape[1]),
+                    ),
+                ])
+                queries_search = np.concatenate([
+                    queries_search,
+                    np.broadcast_to(
+                        queries_search[:1], (pad_q, queries_search.shape[1])
+                    ),
+                ])
         s = time.perf_counter()
 
         order, measured["inference"] = self.compute_bucket_order(
@@ -517,7 +562,7 @@ class LearnedIndex(Logger):
             measured["search_within_buckets"] = t_scan
             measured["seq_search"] = t_scan
             measured["search"] = time.perf_counter() - s
-            return dists, anns, measured
+            return dists[:n_q], anns[:n_q], measured
         # Default two-stage scan: bulk pass at fast DEFAULT precision
         # with a k+margin shortlist, then exact HIGHEST-precision rerank
         # of the shortlist (bf16 matmul noise of ±2e-3 would otherwise
@@ -543,4 +588,4 @@ class LearnedIndex(Logger):
         measured["seq_search"] = t_scan
 
         measured["search"] = time.perf_counter() - s
-        return dists, anns, measured
+        return dists[:n_q], anns[:n_q], measured

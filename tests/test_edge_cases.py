@@ -98,3 +98,26 @@ def test_unknown_model_type_rejected_at_config():
         lmi.BuildConfiguration(
             ["kmeans"], [5], ["MLP", "nope"], [0.01], [2, 2]
         )
+
+
+def test_variable_query_batch_sizes_sticky():
+    """Serving batches of varying size: the first batch fixes the
+    compiled query shape; smaller later batches pad up to it (repeating
+    row 0, results sliced) so they reuse the compiled programs, and
+    results match the fixed-size call exactly."""
+    data, index, pred, nb = _build(300, cats=(4,))
+    rng = np.random.default_rng(3)
+    qs = rng.normal(size=(64, data.shape[1])).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+
+    d_full, i_full, _ = index.search(
+        data, qs, data, qs, pred, None, n_buckets=nb, k=5
+    )
+    for q_n in (64, 17, 1, 63):
+        sub = qs[:q_n]
+        d, i, _ = index.search(
+            data, sub, data, sub, pred, None, n_buckets=nb, k=5
+        )
+        assert d.shape == (q_n, 5) and i.shape == (q_n, 5)
+        np.testing.assert_array_equal(i, i_full[:q_n])
+        np.testing.assert_allclose(d, d_full[:q_n], rtol=1e-5, atol=1e-6)
