@@ -291,6 +291,12 @@ def main():
                    help="strict-parity scan: no approx top-k, no rerank "
                         "shortlist, HIGHEST matmul precision end-to-end "
                         "(the reference's all-f32 in-bucket scan)")
+    p.add_argument("--serving", type=int, default=0,
+                   help="after the headline: N serving batches of "
+                        "VARYING size (80-100%% of --queries, random "
+                        "subsets) timed individually — exercises the "
+                        "sticky compiled-shape reuse; reports "
+                        "p50/p95/max batch latency")
     p.add_argument("--dataset", default="",
                    help="run on staged SISAP data instead of synthetic: "
                         "kind (e.g. clip768v2); requires dataset.h5 + "
@@ -452,6 +458,41 @@ def main():
     r = recall(anns[:gt_q], gt, 10)
     log(f"recall@10 ({args.visit}/{n_buckets} buckets): {r:.4f}")
 
+    serving = None
+    if args.serving:
+        # variable-size random batches: each new (size, navigation
+        # outcome) pair would re-jit without the sticky shape hints
+        s_rng = np.random.default_rng(7)
+        lat = []
+        for b in range(args.serving):
+            q_n = int(s_rng.integers(int(args.queries * 0.8),
+                                     args.queries + 1))
+            sel = s_rng.choice(args.queries, size=q_n, replace=False)
+            batch = queries[np.sort(sel)]
+            t0 = time.perf_counter()
+            index.search(
+                None, batch, None, batch, pred, None,
+                n_buckets=args.visit, k=10, approx_recall=approx,
+                store=store, rerank_margin=args.rerank_margin,
+                precision=precision, rerank=rerank,
+            )
+            lat.append(time.perf_counter() - t0)
+        lat_a = np.array(lat)
+        serving = {
+            "batches": args.serving,
+            "batch_size_range": [int(args.queries * 0.8), args.queries],
+            "p50_s": round(float(np.percentile(lat_a, 50)), 4),
+            "p95_s": round(float(np.percentile(lat_a, 95)), 4),
+            "max_s": round(float(lat_a.max()), 4),
+            "slow_batches_over_3x_p50": int(
+                (lat_a > 3 * np.percentile(lat_a, 50)).sum()
+            ),
+        }
+        log(f"  serving: {args.serving} variable-size batches "
+            f"p50={serving['p50_s']}s p95={serving['p95_s']}s "
+            f"max={serving['max_s']}s "
+            f"(>3x p50: {serving['slow_batches_over_3x_p50']})")
+
     curve = {}
     if args.recall_curve:
         for v in [int(x) for x in args.recall_curve.split(",")]:
@@ -554,6 +595,8 @@ def main():
         "recall_vs_visit": curve,
         "two_level": two,
     }
+    if serving is not None:
+        result["serving"] = serving
     print(json.dumps(result), flush=True)
 
 

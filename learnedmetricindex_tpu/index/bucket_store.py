@@ -990,8 +990,16 @@ def scan_buckets(
     plan = build_scan_plan(store, np.asarray(bucket_order), qtile=qtile)
     t0 = _dbg("plan", t0)
 
+    # keyed by visit count too: n_visits is its own jit static, so
+    # cross-V hint sharing could never save a compile — it would only
+    # pad a small-V call up to a large-V work list
+    hint_key = (id(store.chunk_ids), qtile, np.asarray(bucket_order).shape[1])
+
     W = len(plan.item_chunk)
-    Wp = _quantize(max(W, 1), items_per_step)
+    # sticky like the fused path's W: XLA padded items DO run (masked)
+    # matmuls, but bounded growth beats re-jitting the sort-merge —
+    # measured ~50 s per fresh serving batch at 200K×96 without this
+    Wp = _sticky_quantize(hint_key, "Wp", max(W, 1), items_per_step)
     assert Wp % items_per_step == 0
     item_q_start = np.zeros(Wp, dtype=np.int32)
     item_chunk = np.zeros(Wp, dtype=np.int32)
@@ -1001,10 +1009,6 @@ def scan_buckets(
     item_valid[:W] = True
 
     qidx = plan.qidx
-    # keyed by visit count too: n_visits is its own jit static, so
-    # cross-V hint sharing could never save a compile — it would only
-    # pad a small-V call up to a large-V work list
-    hint_key = (id(store.chunk_ids), qtile, np.asarray(bucket_order).shape[1])
     QP = _sticky_quantize(hint_key, "QP", max(len(qidx), 1), qtile)
     if QP != len(qidx):
         qidx = np.concatenate(
