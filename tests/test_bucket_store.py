@@ -385,3 +385,39 @@ def test_fused_shapes_sticky_across_batches(monkeypatch):
     np.testing.assert_allclose(d2, d2x, rtol=1e-4, atol=1e-5)
     fin = np.isfinite(d2x)
     np.testing.assert_array_equal(i2[fin], i2x[fin])
+
+
+def test_xla_work_list_sticky_and_exact():
+    """The XLA sort-merge engine's work-list padding (Wp) reuses the
+    store's sticky hint too — its re-jit is the costliest of all — and
+    the padded (masked) items must not change results."""
+    import numpy as np
+    import learnedmetricindex_tpu.index.bucket_store as bs
+    from learnedmetricindex_tpu.data import synthetic_blobs
+
+    data, queries = synthetic_blobs(600, 8, 16, seed=2)
+    rng = np.random.default_rng(2)
+    bucket_ids = np.clip(rng.integers(0, 8, size=600), 0, 5)
+    store = bs.BucketStore.build(data, bucket_ids, 6, chunk=16)
+    key = (id(store.chunk_ids), 8, 3)
+
+    big = np.tile(np.arange(6, dtype=np.int64), (16, 1))[:, :3]
+    small = np.tile(np.array([1, 2, 3], dtype=np.int64), (16, 1))
+
+    bs._SHAPE_HINTS.pop(key, None)
+    bs.scan_buckets(store, queries, big, k=5, engine="xla", qtile=8)
+    hints_after_big = dict(bs._SHAPE_HINTS[key])
+    d2, i2 = bs.scan_buckets(store, queries, small, k=5, engine="xla",
+                             qtile=8)
+    # the smaller batch must not have grown (or shrunk) any hint —
+    # same compiled shapes, no re-jit
+    assert bs._SHAPE_HINTS[key] == hints_after_big
+
+    # clean-slate run (no sticky history → minimal padding): the
+    # hint-padded results must be identical
+    bs._SHAPE_HINTS.pop(key, None)
+    d2f, i2f = bs.scan_buckets(store, queries, small, k=5, engine="xla",
+                               qtile=8)
+    np.testing.assert_allclose(d2, d2f, rtol=1e-5, atol=1e-6)
+    fin = np.isfinite(d2f)
+    np.testing.assert_array_equal(i2[fin], i2f[fin])
