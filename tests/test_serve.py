@@ -1,0 +1,151 @@
+"""Serving layer: micro-batching executor + HTTP front end.
+
+The reference has no serving component (its ``search`` is a one-shot
+experiment batch, ``search/search.py:247-283``); this is a TPU-native
+addition — coalescing concurrent requests into one device dispatch and
+riding the sticky-shape padding so steady-state serving never re-jits.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import learnedmetricindex_tpu as lmi
+from learnedmetricindex_tpu.data import synthetic_blobs
+from learnedmetricindex_tpu.ops.knn import exact_knn, recall
+from learnedmetricindex_tpu.serve import SearchServer, make_http_server
+
+
+@pytest.fixture(scope="module")
+def served():
+    data, queries = synthetic_blobs(3000, 24, 64, n_clusters=16, seed=7)
+    cfg = lmi.BuildConfiguration(
+        "kmeans", 30, "MLP-2", 0.01, [8], seed=7, chunk_size=256
+    )
+    index, data_prediction, *_ = lmi.LearnedIndexBuilder(data, cfg).build()
+    store = index.get_bucket_store(data, data_prediction)
+    server = SearchServer(
+        index, store, k=10, n_buckets=8, max_batch=256, max_wait_ms=5.0
+    )
+    yield server, data, queries
+    server.close()
+
+
+def test_single_request_matches_direct_search(served):
+    server, data, queries = served
+    q = queries[:16]
+    dists, ids = server.search(q)
+    assert dists.shape == (16, 10) and ids.shape == (16, 10)
+    assert ids.dtype == np.uint32
+
+    # all 8 buckets visited == exact: oracle agreement
+    _, gt = exact_knn(data, q, k=10)
+    assert recall(ids, gt, 10) == 1.0
+
+
+def test_per_request_k_is_sliced(served):
+    server, _, queries = served
+    dists, ids = server.search(queries[:4], k=3)
+    assert dists.shape == (4, 3) and ids.shape == (4, 3)
+    full_d, full_i = server.search(queries[:4])
+    np.testing.assert_array_equal(ids, full_i[:, :3])
+
+    with pytest.raises(ValueError):
+        server.search(queries[:4], k=99)  # k > server k
+    with pytest.raises(ValueError):
+        server.search(queries[:1, :5])  # wrong dim
+    with pytest.raises(ValueError):
+        server.search(np.zeros((300, 24), np.float32))  # > max_batch
+
+
+def test_concurrent_requests_coalesce(served):
+    server, data, queries = served
+    before = server.stats()["batches"]
+    results = {}
+    barrier = threading.Barrier(8)
+
+    def worker(i):
+        barrier.wait()
+        q = queries[i * 8 : (i + 1) * 8]
+        results[i] = server.search(q)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    _, gt = exact_knn(data, queries[:64], k=10)
+    ids_all = np.concatenate([results[i][1] for i in range(8)])
+    assert recall(ids_all, gt, 10) == 1.0
+
+    st = server.stats()
+    # 64 queries landed in fewer dispatches than requests: micro-batching
+    n_batches = st["batches"] - before
+    assert n_batches < 8, f"no coalescing: {n_batches} batches for 8 requests"
+    assert st["requests"] >= 8
+    assert st["batch_queries"]["max"] >= 16
+
+
+def test_http_endpoints(served):
+    server, data, queries = served
+    httpd = make_http_server(server, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=10) as r:
+            assert json.loads(r.read()) == {"status": "ok"}
+
+        body = json.dumps(
+            {"queries": queries[:5].tolist(), "k": 10}
+        ).encode()
+        req = urllib.request.Request(
+            f"{base}/search", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        ids = np.asarray(out["ids"], np.uint32)
+        dists = np.asarray(out["dists"], np.float32)
+        assert ids.shape == (5, 10) and dists.shape == (5, 10)
+        _, gt = exact_knn(data, queries[:5], k=10)
+        assert recall(ids, gt, 10) == 1.0
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=10) as r:
+            st = json.loads(r.read())
+        assert st["requests"] >= 1 and st["config"]["k"] == 10
+
+        # malformed request → 400, not a crash
+        bad = urllib.request.Request(
+            f"{base}/search", data=b'{"queries": "nope"}',
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=10)
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_close_rejects_new_requests(served):
+    _, data, _ = served
+    # a dedicated short-lived server: closing the module fixture would
+    # break later tests
+    cfg = lmi.BuildConfiguration(
+        "kmeans", 10, "MLP-2", 0.01, [4], seed=11, chunk_size=256
+    )
+    index, pred, *_ = lmi.LearnedIndexBuilder(data, cfg).build()
+    store = index.get_bucket_store(data, pred)
+    server = SearchServer(index, store, k=5, n_buckets=4, max_batch=64,
+                          max_wait_ms=0.0, warmup=False)
+    d, i = server.search(data[:3])
+    assert d.shape == (3, 5)
+    server.close()
+    with pytest.raises(RuntimeError):
+        server.submit(data[:3])
