@@ -386,19 +386,28 @@ class LearnedIndex(Logger):
         from learnedmetricindex_tpu.index.navigation import (
             _quantize_visits,
             check_best_first_budget,
+            max_best_first_queries,
         )
 
         layout = self.layout
+        nav_slice = None
         if policy == "best_first" and len(self.levels) > 1:
-            # wide-tree guard: the traversal state is (Q, E); fail
-            # loudly instead of allocating gigabytes (policy="joint"
-            # has no traversal state)
-            check_best_first_budget(q.shape[0], layout.n_entries)
+            if multi:
+                # global SPMD batch: slicing would issue per-slice
+                # collectives across processes — keep the loud guard
+                # (policy="joint" has no traversal state, or search in
+                # smaller global batches)
+                check_best_first_budget(q.shape[0], layout.n_entries)
+            else:
+                # wide-tree handling: the traversal state is (Q, E);
+                # instead of allocating gigabytes OR failing, navigate
+                # in query slices that fit the state budget (exact —
+                # the traversal is per-query independent)
+                nav_slice = max_best_first_queries(layout.n_entries)
         n_leaves = layout.n_leaves
         n_buckets = min(n_buckets, n_leaves)
         cap = _quantize_visits(n_buckets, n_leaves)
-        order = _navigate_device(
-            q,
+        nav_args = (
             tuple(level.params for level in self.levels),
             tuple(_repl(level.class_mask) for level in self.levels),
             _repl(layout.child_base),
@@ -406,10 +415,22 @@ class LearnedIndex(Logger):
             _repl(layout.is_leaf),
             _repl(np.int32(layout.offsets[1])) if multi
             else jnp.int32(layout.offsets[1]),
-            cap=cap,
-            policy=policy,
-            layout_key=layout.offsets,
         )
+        nav_kwargs = dict(cap=cap, policy=policy, layout_key=layout.offsets)
+        if nav_slice is not None and q.shape[0] > nav_slice:
+            parts = []
+            for s0 in range(0, q.shape[0], nav_slice):
+                qs = q[s0 : s0 + nav_slice]
+                pad = nav_slice - qs.shape[0]
+                if pad:  # last slice: repeat row 0, reuse the program
+                    qs = jnp.concatenate(
+                        [qs, jnp.broadcast_to(qs[:1], (pad, qs.shape[1]))]
+                    )
+                o = _navigate_device(qs, *nav_args, **nav_kwargs)
+                parts.append(np.asarray(o[:, :n_buckets]))
+            order_np = np.concatenate(parts)[: q.shape[0]]
+            return order_np, time.perf_counter() - s
+        order = _navigate_device(q, *nav_args, **nav_kwargs)
         if multi:
             from learnedmetricindex_tpu.parallel.multiprocess import (
                 to_host_replicated,

@@ -205,9 +205,14 @@ MAX_NAV_STATE_BYTES = 1 << 30
 def check_best_first_budget(n_queries: int, n_entries: int) -> None:
     """Fail loudly when the best-first state machine would exceed the
     configured budget (see :data:`MAX_NAV_STATE_BYTES`) instead of
-    silently allocating it.  ``policy="joint"`` (one joint-probability
-    ``top_k``, no traversal state) handles arbitrarily wide trees;
-    splitting the query batch is the other way out.
+    silently allocating it.  The single-controller public path no
+    longer hits this: ``index.compute_bucket_order`` navigates wide
+    trees in budget-sized query slices (:func:`max_best_first_queries`).
+    The guard remains for multi-process global batches (where slicing
+    would issue per-slice cross-process collectives) and for direct
+    :func:`best_first_order` callers; ``policy="joint"`` (one
+    joint-probability ``top_k``, no traversal state) is the other way
+    out.
 
     Call this BEFORE materializing the (Q, E) ``entry_probs`` array —
     the probs themselves are 4/5 of the budget being guarded.  The
@@ -229,6 +234,25 @@ def check_best_first_budget(n_queries: int, n_entries: int) -> None:
             "for joint-probability ranking, no traversal state), search "
             "in smaller query batches, or raise LMI_MAX_NAV_STATE_BYTES."
         )
+
+
+def max_best_first_queries(n_entries: int) -> int:
+    """Largest per-dispatch query count that keeps the best-first
+    traversal state (``n_entries * 5`` bytes per query, see
+    :func:`check_best_first_budget`) within the configured budget —
+    rounded down to a power of two so the sliced dispatches reuse one
+    compiled program.  Always ≥ 1: the single-controller public path
+    (``index.compute_bucket_order``) navigates wide trees in query
+    slices of this size instead of failing; the traversal is per-query
+    independent, so slicing is exact."""
+    import os
+
+    budget = int(
+        os.environ.get("LMI_MAX_NAV_STATE_BYTES", MAX_NAV_STATE_BYTES)
+    )
+    per_q = max(int(n_entries) * 5, 1)
+    m = max(budget // per_q, 1)
+    return 1 << (int(m).bit_length() - 1)
 
 
 def _quantize_visits(n_buckets: int, n_leaves: int) -> int:

@@ -144,11 +144,16 @@ def _kernel(
     sims = sims * scales
     if compute_dtype == jnp.int8:
         sims = sims * qscale_ref[tile, :][None, :]
-    dists = 1.0 - sims
-    dists = jnp.where(scales == 0.0, jnp.inf, dists)  # padding slots
-    qbad = (qi < 0).astype(jnp.int32)[None, :]  # (1, qtile)
-    dists = jnp.where(qbad > 0, jnp.inf, dists)
-    dists = jnp.where(jnp.logical_not(is_valid), jnp.inf, dists)
+    # ONE select for all invalidity sources (padding slots, padding
+    # query lanes, padding work items): the kernel body is VPU-sweep
+    # bound (PERFORMANCE.md "Known headroom"), so three separate
+    # full-matrix selects were three sweeps where one suffices — the
+    # (chunk, 1) | (1, qtile) | scalar mask broadcasts in the same op
+    bad = jnp.logical_or(
+        jnp.logical_or(scales == 0.0, (qi < 0)[None, :]),
+        jnp.logical_not(is_valid),
+    )
+    dists = jnp.where(bad, jnp.inf, 1.0 - sims)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (chunk, qtile), dimension=0)
     put_row = jax.lax.broadcasted_iota(jnp.int32, (kpad, qtile), dimension=0)

@@ -73,7 +73,7 @@ FULL_FLOW_WORKER = textwrap.dedent(
     import os, sys
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=4"
+        + " --xla_force_host_platform_device_count={devs}"
     ).strip()
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -84,7 +84,7 @@ FULL_FLOW_WORKER = textwrap.dedent(
 
     pid = int(sys.argv[1])
     mp.initialize(coordinator_address="localhost:{port}",
-                  num_processes=2, process_id=pid)
+                  num_processes={nprocs}, process_id=pid)
     assert jax.device_count() == 8
     mesh = mp.global_mesh()
 
@@ -95,7 +95,7 @@ FULL_FLOW_WORKER = textwrap.dedent(
     # deterministic full dataset on both processes; each feeds ONLY its
     # half as process-local rows (the multi-host data-loading recipe)
     data, queries = synthetic_blobs(1024, 16, 32, n_clusters=8, seed=7)
-    half = len(data) // 2
+    half = len(data) // {nprocs}
     gdata = mp.from_process_local(
         data[pid * half:(pid + 1) * half], mesh,
         P(("data", "model"), None),
@@ -112,7 +112,7 @@ FULL_FLOW_WORKER = textwrap.dedent(
     local_bytes = sum(
         s.data.nbytes for s in store.chunk_data.addressable_shards
     )
-    assert local_bytes == store.chunk_data.nbytes // 2, (
+    assert local_bytes == store.chunk_data.nbytes // {nprocs}, (
         local_bytes, store.chunk_data.nbytes)
 
     # the routed fill placed every row's vector at its slot
@@ -146,13 +146,17 @@ FULL_FLOW_WORKER = textwrap.dedent(
 )
 
 
-def _run_two_process(tmp_path, script_template, timeout=600, **fmt):
+def _run_processes(tmp_path, script_template, timeout=600, nprocs=2,
+                   **fmt):
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
+    if "{nprocs}" in script_template:
+        fmt.setdefault("nprocs", nprocs)
+        fmt.setdefault("devs", 8 // nprocs)
     script = script_template.format(repo=repo, port=port, **fmt)
     path = tmp_path / "worker.py"
     path.write_text(script)
@@ -167,7 +171,7 @@ def _run_two_process(tmp_path, script_template, timeout=600, **fmt):
             env=env,
             text=True,
         )
-        for pid in range(2)
+        for pid in range(nprocs)
     ]
     outs = []
     try:
@@ -191,7 +195,7 @@ def _run_two_process(tmp_path, script_template, timeout=600, **fmt):
 
 
 def test_two_process_cpu_mesh(tmp_path):
-    _run_two_process(tmp_path, WORKER, timeout=300)
+    _run_processes(tmp_path, WORKER, timeout=300)
 
 
 def test_two_process_full_build_shard_search(tmp_path):
@@ -199,7 +203,7 @@ def test_two_process_full_build_shard_search(tmp_path):
     per-process data feeding -> LearnedIndexBuilder(mesh=global_mesh())
     -> get_sharded_store (routed psum_scatter fill, per-process bytes =
     corpus/P) -> search -> recall == oracle (VERDICT r2 missing #1)."""
-    _run_two_process(tmp_path, FULL_FLOW_WORKER, timeout=600, cats="[6]")
+    _run_processes(tmp_path, FULL_FLOW_WORKER, timeout=600, cats="[6]")
 
 
 def test_two_process_two_level_build_shard_search(tmp_path):
@@ -208,6 +212,16 @@ def test_two_process_two_level_build_shard_search(tmp_path):
     run as the same global SPMD program on both processes, feeding the
     bucket-sharded store (multi-level x multi-host coverage — the last
     untested cell of the VERDICT r2 matrix)."""
-    _run_two_process(
+    _run_processes(
         tmp_path, FULL_FLOW_WORKER, timeout=600, cats="[3, 2]"
+    )
+
+
+def test_four_process_full_build_shard_search(tmp_path):
+    """The same product path at P=4 (2 virtual devices per process):
+    catches process-count hardcoding in the per-process bucket packing
+    and the psum_scatter routing — per-process slab bytes must be
+    corpus/4, and recall must still equal the oracle."""
+    _run_processes(
+        tmp_path, FULL_FLOW_WORKER, nprocs=4, timeout=600, cats="[6]"
     )

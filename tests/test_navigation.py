@@ -187,3 +187,59 @@ def test_wide_tree_best_first_guard(monkeypatch):
     # joint policy is untouched by the budget
     joint = joint_order(layout, level_probs, level_valid, 5)
     assert joint.shape == (8, 5)
+
+
+def test_wide_tree_public_path_auto_slices(monkeypatch):
+    """The PUBLIC navigation path (``index.compute_bucket_order``) no
+    longer fails on wide trees: over the state budget it navigates in
+    budget-sized query slices (per-query independent, so the sliced
+    order is bitwise-identical to the one-dispatch order)."""
+    import jax
+
+    import learnedmetricindex_tpu as lmi
+    from learnedmetricindex_tpu.index.index import LearnedIndex, LevelModels
+    from learnedmetricindex_tpu.index.navigation import (
+        max_best_first_queries,
+    )
+    from learnedmetricindex_tpu.models.mlp import init_stacked_mlp
+
+    cats = (6, 5)
+    d = 8
+    key = jax.random.PRNGKey(3)
+    levels = [
+        LevelModels(
+            params=init_stacked_mlp(key, 1, "MLP-2", d, cats[0]),
+            class_mask=np.ones((1, cats[0]), bool),
+            model_type="MLP-2",
+        ),
+        LevelModels(
+            params=init_stacked_mlp(jax.random.fold_in(key, 1), cats[0],
+                                    "MLP-2", d, cats[1]),
+            class_mask=np.ones((cats[0], cats[1]), bool),
+            model_type="MLP-2",
+        ),
+    ]
+    cfg = lmi.BuildConfiguration("kmeans", 1, "MLP-2", 0.01, list(cats))
+    index = LearnedIndex(
+        levels=levels,
+        layout=TreeLayout.create(cats),
+        config=cfg,
+        leaf_valid=np.ones(cats[0] * cats[1], bool),
+    )
+    rng = np.random.default_rng(5)
+    queries = rng.normal(size=(50, d)).astype(np.float32)
+
+    one_dispatch, _ = index.compute_bucket_order(queries, 7)
+
+    # budget that fits only 8 queries per dispatch -> 7 slices
+    E = index.layout.n_entries  # 36
+    monkeypatch.setenv("LMI_MAX_NAV_STATE_BYTES", str(E * 5 * 8))
+    assert max_best_first_queries(E) == 8
+    sliced, _ = index.compute_bucket_order(queries, 7)
+    np.testing.assert_array_equal(sliced, one_dispatch)
+
+    # joint policy unaffected either way
+    j1, _ = index.compute_bucket_order(queries, 7, policy="joint")
+    monkeypatch.delenv("LMI_MAX_NAV_STATE_BYTES")
+    j2, _ = index.compute_bucket_order(queries, 7, policy="joint")
+    np.testing.assert_array_equal(j1, j2)
