@@ -41,6 +41,12 @@ _LAZY = {
         "learnedmetricindex_tpu.models.train",
         "NeuralNetwork",
     ),
+    # serving-facing mutable index (insert/delete without rebuild — no
+    # reference analog: its index is build-once)
+    "DynamicIndex": (
+        "learnedmetricindex_tpu.index.mutation",
+        "DynamicIndex",
+    ),
 }
 
 
@@ -81,6 +87,7 @@ __all__ = [
     "LearnedIndexBuilder",
     "LearnedIndex",
     "NeuralNetwork",
+    "DynamicIndex",
     "enable_compilation_cache",
     "__version__",
 ]

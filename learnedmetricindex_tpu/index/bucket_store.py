@@ -89,6 +89,17 @@ class BucketStore(NamedTuple):
     chunk_scales: Optional[jnp.ndarray] = None  # (n_chunks*chunk,) f32, packed int8
     row_scales: Optional[jnp.ndarray] = None  # (n,) f32, virtual int8
     row_slot: Optional[jnp.ndarray] = None  # (n,) int32: object id-1 → packed slot
+    # --- mutation bookkeeping (index/mutation.py); None on fresh builds.
+    # After inserts a bucket's chunks are no longer a contiguous range:
+    # bucket b owns chunks bucket_chunk_list[ptr[b]:ptr[b+1]] (in scan
+    # order).  The kernel never cares — its only contiguity requirement
+    # is that one (bucket, tile) pair's items are consecutive in the
+    # WORK LIST, which build_scan_plan preserves for any chunk placement.
+    bucket_chunk_ptr: Optional[np.ndarray] = None  # (n_buckets + 1,) host CSR
+    bucket_chunk_list: Optional[np.ndarray] = None  # (n_assigned,) chunk idx
+    bucket_fill: Optional[np.ndarray] = None  # (n_buckets,) int32 high-water
+    #   row count within the bucket's chunk sequence (inserts append
+    #   here; deletes leave holes below it)
 
     @property
     def d(self) -> int:
@@ -357,8 +368,15 @@ def build_scan_plan(
     ``bucket_order``: (Q, V) int bucket indices, -1 for unused slots.
     """
     Q, V = bucket_order.shape
-    starts = store.bucket_chunk_start
-    nchunks_all = (starts[1:] - starts[:-1]).astype(np.int64)
+    if store.bucket_chunk_list is not None:
+        # mutated store: per-bucket chunk indirection (see BucketStore)
+        ptr = store.bucket_chunk_ptr.astype(np.int64)
+        chunk_list = store.bucket_chunk_list
+        nchunks_all = ptr[1:] - ptr[:-1]
+    else:
+        ptr = store.bucket_chunk_start.astype(np.int64)
+        chunk_list = None
+        nchunks_all = ptr[1:] - ptr[:-1]
 
     # --- (query, bucket) pairs, sorted by bucket --------------------
     q_of_pair = np.repeat(np.arange(Q, dtype=np.int64), V)
@@ -398,7 +416,10 @@ def build_scan_plan(
     t_of_item = within // nchunks[rep_b]
     c_of_item = within % nchunks[rep_b]
     item_q_start[:] = (pad_starts[rep_b] + t_of_item * qtile).astype(np.int32)
-    item_chunk[:] = (starts[rep_b] + c_of_item).astype(np.int32)
+    if chunk_list is not None:
+        item_chunk[:] = chunk_list[ptr[rep_b] + c_of_item].astype(np.int32)
+    else:
+        item_chunk[:] = (ptr[rep_b] + c_of_item).astype(np.int32)
 
     return ScanPlan(
         qidx=qidx,

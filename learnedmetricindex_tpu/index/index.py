@@ -182,6 +182,17 @@ class LearnedIndex(Logger):
     # ------------------------------------------------------------------
     # search
     # ------------------------------------------------------------------
+    def classify(self, vectors) -> np.ndarray:
+        """Predict each row's full tree path (its ``data_prediction``
+        rows had it been present at build time) — used by
+        :class:`~learnedmetricindex_tpu.index.mutation.DynamicIndex`
+        to route inserts, and the multi-level analog of the
+        reference's per-node ``model.predict``
+        (``search/li/model.py:213-224``)."""
+        from learnedmetricindex_tpu.index.mutation import classify
+
+        return classify(self, vectors)
+
     def bucket_ids_from_prediction(self, data_prediction: np.ndarray) -> np.ndarray:
         """Dense global bucket id per data row (row-major over the path,
         the analog of the reference's ``category_L*`` annotation,

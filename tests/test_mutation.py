@@ -1,0 +1,204 @@
+"""Dynamic mutation: insert / delete / compact on a live index.
+
+The reference index is build-once; these tests cover the TPU
+framework's serving-oriented mutation layer
+(``index/mutation.py``): classification parity with the builder,
+exactness of searches over mutated stores (vs a brute-force oracle on
+the mutated corpus), chunk-overflow growth through the per-bucket
+chunk list, and delete-in-place semantics on both f32 and int8 packed
+stores.
+"""
+
+import numpy as np
+import pytest
+
+import learnedmetricindex_tpu as lmi
+from learnedmetricindex_tpu.data import synthetic_blobs
+from learnedmetricindex_tpu.index.bucket_store import BucketStore
+from learnedmetricindex_tpu.index.mutation import (
+    DynamicIndex,
+    delete_ids,
+    ensure_mutable,
+    insert_rows,
+)
+from learnedmetricindex_tpu.ops.knn import exact_knn, recall
+
+
+@pytest.fixture(scope="module")
+def built():
+    data, queries = synthetic_blobs(
+        3000, 24, 100, n_clusters=16, seed=2023
+    )
+    extra, _ = synthetic_blobs(400, 24, 1, n_clusters=16, seed=77)
+    cfg = lmi.BuildConfiguration(
+        "kmeans", 40, "MLP-2", 0.01, [3, 3], seed=2023, chunk_size=64
+    )
+    index, data_prediction, n_buckets, _, _ = lmi.LearnedIndexBuilder(
+        data, cfg
+    ).build()
+    return data, queries, extra, index, data_prediction, n_buckets
+
+
+def _oracle_ids(corpus, queries, k=10):
+    _, gt = exact_knn(corpus, queries, k=k)
+    return gt
+
+
+def test_classify_matches_builder_partition(built):
+    data, _, _, index, data_prediction, _ = built
+    pred = index.classify(data)
+    np.testing.assert_array_equal(pred, data_prediction)
+
+
+def test_insert_then_full_visit_is_exact(built):
+    data, queries, extra, index, data_prediction, n_buckets = built
+    dyn = DynamicIndex.from_built(index, data, data_prediction)
+    assert dyn.n_rows == len(data)
+
+    ids = dyn.insert(extra)
+    np.testing.assert_array_equal(
+        ids, np.arange(len(data) + 1, len(data) + len(extra) + 1)
+    )
+    assert dyn.n_rows == len(data) + len(extra)
+
+    corpus = np.concatenate([data, extra])
+    gt = _oracle_ids(corpus, queries)
+    dists, nns, _ = dyn.search(queries, n_buckets=index.n_buckets, k=10)
+    assert recall(nns, gt, 10) == 1.0
+    ref_d, _ = exact_knn(corpus, queries, k=10)
+    np.testing.assert_allclose(dists, ref_d, rtol=1e-4, atol=1e-5)
+
+    # inserted vectors are their own nearest neighbor
+    d2, n2, _ = dyn.search(extra[:32], n_buckets=index.n_buckets, k=1)
+    np.testing.assert_array_equal(n2[:, 0], ids[:32])
+    np.testing.assert_allclose(d2[:, 0], 0.0, atol=1e-4)
+
+    # partial visit still navigates sensibly
+    _, n3, _ = dyn.search(queries, n_buckets=4, k=10)
+    assert recall(n3, gt, 10) > 0.6
+
+
+def test_overflow_allocates_chunks_and_grows(built):
+    data, queries, extra, index, data_prediction, _ = built
+    dyn = DynamicIndex.from_built(index, data, data_prediction, chunk=64)
+    n_chunks_before = dyn.store.n_chunks
+    # 400 rows over <=9 buckets at chunk=64 MUST overflow several
+    # buckets' tail chunks (fresh stores have zero free chunks)
+    dyn.insert(extra)
+    st = dyn.store
+    assert st.n_chunks > n_chunks_before  # device arrays grew
+    ptr = st.bucket_chunk_ptr
+    assert int(ptr[-1]) > n_chunks_before  # buckets own extra chunks
+    # the chunk list is a permutation of assigned chunks, no dupes
+    assert len(np.unique(st.bucket_chunk_list)) == len(st.bucket_chunk_list)
+    # capacity invariant per bucket
+    have = (ptr[1:] - ptr[:-1]) * st.chunk
+    assert (st.bucket_fill <= have).all()
+
+    corpus = np.concatenate([data, extra])
+    gt = _oracle_ids(corpus, queries)
+    _, nns, _ = dyn.search(queries, n_buckets=index.n_buckets, k=10)
+    assert recall(nns, gt, 10) == 1.0
+
+
+def test_delete_and_reinsert(built):
+    data, queries, extra, index, data_prediction, _ = built
+    dyn = DynamicIndex.from_built(index, data, data_prediction)
+    ids = dyn.insert(extra)
+
+    victims = np.concatenate([ids[:50], np.arange(1, 101)])  # new + old
+    assert dyn.delete(victims) == 150
+    assert dyn.n_rows == len(data) + len(extra) - 150
+    # idempotent: re-deleting finds nothing
+    assert dyn.delete(victims) == 0
+    # out-of-range ids are skipped
+    assert dyn.delete(np.array([0, 10**9])) == 0
+
+    keep = np.ones(len(data) + len(extra), bool)
+    keep[victims - 1] = False
+    corpus = np.concatenate([data, extra])[keep]
+    live_ids = np.nonzero(keep)[0] + 1
+    gt_rows = _oracle_ids(corpus, queries)
+    gt = live_ids[gt_rows - 1]
+    _, nns, _ = dyn.search(queries, n_buckets=index.n_buckets, k=10)
+    assert recall(nns, gt, 10) == 1.0
+    assert not np.isin(nns, victims).any()
+
+    # deleted ids may be re-inserted (slot map points back at them)
+    dyn.insert(data[:10], object_ids=np.arange(1, 11))
+    _, n2, _ = dyn.search(data[:5], n_buckets=index.n_buckets, k=1)
+    np.testing.assert_array_equal(n2[:, 0], np.arange(1, 6))
+
+
+def test_compact_preserves_results(built):
+    data, queries, extra, index, data_prediction, _ = built
+    dyn = DynamicIndex.from_built(index, data, data_prediction, chunk=64)
+    ids = dyn.insert(extra)
+    dyn.delete(ids[::2])
+    _, before, _ = dyn.search(queries, n_buckets=index.n_buckets, k=10)
+    frag_chunks = dyn.store.n_chunks
+    dyn.compact()
+    assert dyn.store.n_chunks <= frag_chunks
+    _, after, _ = dyn.search(queries, n_buckets=index.n_buckets, k=10)
+    np.testing.assert_array_equal(before, after)
+
+
+def test_int8_store_mutation(built):
+    data, queries, extra, index, data_prediction, _ = built
+    bucket_ids = index.bucket_ids_from_prediction(data_prediction)
+    n_total = int(np.prod(index.config.n_categories))
+    store = BucketStore.build_packed_int8(
+        data, bucket_ids, n_buckets=n_total, chunk=64
+    )
+    dyn = DynamicIndex(index, store)
+    ids = dyn.insert(extra)
+
+    # inserted rows are exact self-hits after the int8 round-trip: the
+    # rerank stage recomputes f32 distances from the dequantized store
+    d2, n2, _ = dyn.search(extra[:16], n_buckets=index.n_buckets, k=1)
+    np.testing.assert_array_equal(n2[:, 0], ids[:16])
+    assert (np.abs(d2[:, 0]) < 5e-3).all()  # int8 round-trip noise
+
+    # int8 quantization noise is ~4e-4 on unit dots: full-visit recall
+    # against the exact oracle stays ~1 (allow a near-tie swap or two)
+    corpus = np.concatenate([data, extra])
+    gt = _oracle_ids(corpus, queries)
+    _, nns, _ = dyn.search(queries, n_buckets=index.n_buckets, k=10)
+    assert recall(nns, gt, 10) > 0.99
+
+    assert dyn.delete(ids[:10]) == 10
+    _, n3, _ = dyn.search(queries, n_buckets=index.n_buckets, k=10)
+    assert not np.isin(n3, ids[:10]).any()
+
+    dyn.compact()
+    assert dyn.store.chunk_data.dtype == np.int8
+    _, n4, _ = dyn.search(queries, n_buckets=index.n_buckets, k=10)
+    assert recall(n4, gt, 10) > 0.99
+
+
+def test_mutation_rejects_virtual_store(built):
+    data, _, _, index, data_prediction, _ = built
+    import jax.numpy as jnp
+
+    store = index.get_bucket_store(jnp.asarray(data), data_prediction)
+    assert store.chunk_data is None  # device data -> virtual store
+    with pytest.raises(ValueError, match="packed"):
+        ensure_mutable(store)
+    with pytest.raises(ValueError, match="packed"):
+        DynamicIndex(index, store)
+
+
+def test_low_level_insert_validation(built):
+    data, _, _, index, data_prediction, _ = built
+    dyn = DynamicIndex.from_built(index, data, data_prediction)
+    st = dyn.store
+    v = data[:2]
+    with pytest.raises(ValueError, match="1-based"):
+        insert_rows(st, v, np.array([0, 1]), np.array([0, 5]))
+    with pytest.raises(ValueError, match="mismatch"):
+        insert_rows(st, v, np.array([0]), np.array([4001, 4002]))
+    with pytest.raises(ValueError, match="out of range"):
+        insert_rows(st, v, np.array([-1, 2]), np.array([4001, 4002]))
+    # zero-row edits are no-ops
+    assert insert_rows(st, data[:0], np.array([]), np.array([])) is st
+    assert delete_ids(st, np.array([]))[0] is st
