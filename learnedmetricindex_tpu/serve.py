@@ -27,7 +27,9 @@ Two pieces, both stdlib-only (no third-party server deps):
   tick (TPU work is serialized through one jitted dispatch anyway — a
   thread pool of device calls would only contend).
 * :func:`make_http_server` / :func:`main` — a JSON-over-HTTP front end
-  (``POST /search``, ``GET /healthz``, ``GET /stats``) on
+  (``POST /search``, ``GET /healthz``, ``GET /stats``; plus
+  ``POST /insert`` / ``POST /delete`` when the server wraps a
+  :class:`~learnedmetricindex_tpu.index.mutation.DynamicIndex`) on
   ``ThreadingHTTPServer``: each connection blocks on its request's
   future while the dispatcher batches across connections.
 
@@ -93,7 +95,7 @@ class SearchServer(Logger):
     def __init__(
         self,
         index,
-        store,
+        store=None,
         *,
         k: int = 10,
         n_buckets: int = 4,
@@ -105,6 +107,26 @@ class SearchServer(Logger):
         max_wait_ms: float = 2.0,
         warmup: bool = True,
     ):
+        from learnedmetricindex_tpu.index.mutation import DynamicIndex
+
+        # a DynamicIndex makes the server MUTABLE: insert/delete swap
+        # the store snapshot between dispatches (each dispatch reads one
+        # consistent functional store; a request submitted after a
+        # mutation returns is guaranteed to search the mutated store)
+        if isinstance(index, DynamicIndex):
+            self.dynamic: Optional[DynamicIndex] = index
+            if store is not None:
+                raise ValueError(
+                    "pass either a DynamicIndex or (index, store)"
+                )
+            index, store = index.index, self.dynamic.store
+        else:
+            self.dynamic = None
+            if store is None:
+                raise ValueError("store is required for a plain index")
+        self._mutate_lock = threading.Lock()
+        self._n_inserts = 0
+        self._n_deletes = 0
         self.index = index
         self.store = store
         self.k = int(k)
@@ -177,6 +199,45 @@ class SearchServer(Logger):
         """Blocking convenience wrapper around :meth:`submit`."""
         return self.submit(queries, k).wait(timeout)
 
+    # ---- mutation API (DynamicIndex-backed servers only) ----
+
+    def _require_dynamic(self):
+        if self.dynamic is None:
+            raise RuntimeError(
+                "this server wraps an immutable (index, store) pair — "
+                "construct SearchServer(DynamicIndex(...)) to serve "
+                "inserts and deletes"
+            )
+
+    def insert(self, vectors: np.ndarray, object_ids=None) -> np.ndarray:
+        """Insert rows into the live corpus; returns their 1-based ids.
+        Searches submitted after this returns see the new rows; requests
+        already in flight finish on the previous store snapshot.  An
+        insert that grows the store's device arrays recompiles the next
+        scan once (growth is geometric, so recompiles are bounded)."""
+        self._require_dynamic()
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.d:
+            raise ValueError(
+                f"vectors must be (N, {self.d}) float32, got {vectors.shape}"
+            )
+        with self._mutate_lock:
+            ids = self.dynamic.insert(vectors, object_ids)
+            self.store = self.dynamic.store
+            with self._lock:
+                self._n_inserts += len(ids)
+        return ids
+
+    def delete(self, object_ids) -> int:
+        """Delete rows by 1-based id; returns how many existed."""
+        self._require_dynamic()
+        with self._mutate_lock:
+            n = self.dynamic.delete(np.asarray(object_ids, np.int64))
+            self.store = self.dynamic.store
+            with self._lock:
+                self._n_deletes += n
+        return n
+
     def stats(self) -> Dict:
         with self._lock:
             lat = sorted(self._latencies)
@@ -205,6 +266,12 @@ class SearchServer(Logger):
                     "max": float(sizes[-1]) if sizes else 0.0,
                 },
                 "engine": getattr(bucket_store, "LAST_ENGINE", None),
+                "mutable": self.dynamic is not None,
+                "inserts": self._n_inserts,
+                "deletes": self._n_deletes,
+                "rows": (
+                    self.dynamic.n_rows if self.dynamic is not None else None
+                ),
                 "config": {
                     "k": self.k,
                     "n_buckets": self.n_buckets,
@@ -358,24 +425,35 @@ def make_http_server(server: SearchServer, host: str = "127.0.0.1",
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):  # noqa: N802
-            if self.path != "/search":
-                self._reply(404, {"error": f"unknown path {self.path}"})
-                return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(length) or b"{}")
-                queries = np.asarray(payload["queries"], dtype=np.float32)
-                if queries.ndim == 1:
-                    queries = queries[None, :]
-                dists, ids = server.search(
-                    queries, k=payload.get("k"),
-                    timeout=float(payload.get("timeout_s", 60.0)),
-                )
-                self._reply(200, {
-                    "ids": ids.tolist(),
-                    "dists": [[float(x) for x in row] for row in dists],
-                })
-            except (KeyError, ValueError, TypeError) as e:
+                if self.path == "/search":
+                    queries = np.asarray(payload["queries"], dtype=np.float32)
+                    if queries.ndim == 1:
+                        queries = queries[None, :]
+                    dists, ids = server.search(
+                        queries, k=payload.get("k"),
+                        timeout=float(payload.get("timeout_s", 60.0)),
+                    )
+                    self._reply(200, {
+                        "ids": ids.tolist(),
+                        "dists": [[float(x) for x in row] for row in dists],
+                    })
+                elif self.path == "/insert":
+                    vectors = np.asarray(payload["vectors"], dtype=np.float32)
+                    if vectors.ndim == 1:
+                        vectors = vectors[None, :]
+                    ids = server.insert(vectors, payload.get("ids"))
+                    self._reply(200, {"ids": [int(i) for i in ids]})
+                elif self.path == "/delete":
+                    n = server.delete(
+                        np.asarray(payload["ids"], dtype=np.int64)
+                    )
+                    self._reply(200, {"deleted": n})
+                else:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+            except (KeyError, ValueError, TypeError, RuntimeError) as e:
                 self._reply(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — serving boundary
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
@@ -427,6 +505,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--no-rerank", action="store_true")
     p.add_argument("--max-batch", type=int, default=4096)
     p.add_argument("--max-wait-ms", type=float, default=2.0)
+    p.add_argument("--dynamic", action="store_true",
+                   help="enable POST /insert and /delete (wraps the "
+                        "packed store in a DynamicIndex)")
     args = p.parse_args(argv)
 
     import learnedmetricindex_tpu as lmi
@@ -454,17 +535,27 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         else:
             data = np.load(args.data).astype(np.float32)
 
-    store = index.get_bucket_store(data, data_prediction)
-    server = SearchServer(
-        index, store,
+    knobs = dict(
         k=args.k, n_buckets=args.n_buckets, policy=args.policy,
         precision=args.precision, rerank=not args.no_rerank,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
     )
+    if args.dynamic:
+        from learnedmetricindex_tpu.index.mutation import DynamicIndex
+
+        server = SearchServer(
+            DynamicIndex.from_built(index, data, data_prediction), **knobs
+        )
+    else:
+        store = index.get_bucket_store(data, data_prediction)
+        server = SearchServer(index, store, **knobs)
     httpd = make_http_server(server, args.host, args.port)
     host, port = httpd.server_address[:2]
-    print(f"lmi-serve listening on http://{host}:{port} "
-          f"(POST /search, GET /healthz, GET /stats)", flush=True)
+    endpoints = "POST /search, GET /healthz, GET /stats" + (
+        ", POST /insert, POST /delete" if args.dynamic else ""
+    )
+    print(f"lmi-serve listening on http://{host}:{port} ({endpoints})",
+          flush=True)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -149,3 +149,85 @@ def test_close_rejects_new_requests(served):
     server.close()
     with pytest.raises(RuntimeError):
         server.submit(data[:3])
+
+
+def test_dynamic_server_insert_delete(served):
+    """A server over a DynamicIndex serves mutations: in-process API
+    plus the HTTP POST /insert and /delete endpoints; searches after a
+    mutation see the mutated corpus."""
+    _, data, queries = served
+    cfg = lmi.BuildConfiguration(
+        "kmeans", 30, "MLP-2", 0.01, [8], seed=7, chunk_size=256
+    )
+    index, pred, *_ = lmi.LearnedIndexBuilder(data, cfg).build()
+    dyn = lmi.DynamicIndex.from_built(index, data, pred)
+    server = SearchServer(dyn, k=10, n_buckets=8, max_batch=256,
+                          max_wait_ms=0.0, warmup=False)
+    try:
+        # immutable servers reject mutation
+        store = index.get_bucket_store(data, pred)
+        plain = SearchServer(index, store, k=5, n_buckets=4,
+                             max_batch=64, max_wait_ms=0.0, warmup=False)
+        with pytest.raises(RuntimeError, match="immutable"):
+            plain.insert(data[:1])
+        plain.close()
+
+        extra, _ = synthetic_blobs(50, 24, 1, n_clusters=16, seed=99)
+        ids = server.insert(extra)
+        assert len(ids) == 50
+        d, i = server.search(extra[:8], k=1)
+        np.testing.assert_array_equal(i[:, 0], ids[:8])
+
+        assert server.delete(ids[:10]) == 10
+        _, i2 = server.search(queries[:32])
+        assert not np.isin(i2, ids[:10]).any()
+        st = server.stats()
+        assert st["mutable"] and st["inserts"] == 50 and st["deletes"] == 10
+        assert st["rows"] == len(data) + 40
+
+        # HTTP front end
+        httpd = make_http_server(server, "127.0.0.1", 0)
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{port}"
+        try:
+            req = urllib.request.Request(
+                f"{base}/insert",
+                data=json.dumps({"vectors": extra[:3].tolist()}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                new_ids = json.loads(r.read())["ids"]
+            assert len(new_ids) == 3
+
+            req = urllib.request.Request(
+                f"{base}/delete",
+                data=json.dumps({"ids": new_ids}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                assert json.loads(r.read()) == {"deleted": 3}
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+    finally:
+        server.close()
+
+
+def test_http_mutation_rejected_on_immutable_server(served):
+    server, _, _ = served  # module fixture: immutable
+    httpd = make_http_server(server, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/insert",
+            data=json.dumps({"vectors": [[0.0] * 24]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
