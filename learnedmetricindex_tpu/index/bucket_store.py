@@ -57,11 +57,25 @@ _SHAPE_HINTS: dict = {}
 _SHAPE_HINTS_MAX = 256
 
 
+def migrate_shape_hints(old_id: int, new_id: int) -> None:
+    """Re-key every hint entry of one store onto its successor — called
+    by the mutation layer, whose every insert/delete creates a new
+    ``chunk_ids`` array.  Without this, mutations would strand one dead
+    entry each and eventually push the cache over its cap, evicting
+    LIVE entries (including the search path's sticky query padding)."""
+    for k in [k for k in _SHAPE_HINTS if k[0] == old_id]:
+        _SHAPE_HINTS[(new_id,) + k[1:]] = _SHAPE_HINTS.pop(k)
+
+
 def _sticky_quantize(key, name: str, size: int, multiple: int) -> int:
     """⅛-octave-quantize ``size``, but reuse the largest value already
     compiled for ``key`` when it still fits (see ``_SHAPE_HINTS``)."""
     if len(_SHAPE_HINTS) > _SHAPE_HINTS_MAX:
-        _SHAPE_HINTS.clear()
+        # evict the oldest half (dict preserves insertion order) — a
+        # wholesale clear would also drop hot entries and force every
+        # active serving path to recompile at its next odd-sized batch
+        for k in list(_SHAPE_HINTS)[: _SHAPE_HINTS_MAX // 2]:
+            del _SHAPE_HINTS[k]
     hints = _SHAPE_HINTS.setdefault(key, {})
     q = _quantize(size, multiple)
     prev = hints.get(name, 0)

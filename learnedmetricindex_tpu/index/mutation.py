@@ -79,18 +79,32 @@ def classify(index, vectors) -> np.ndarray:
     entries had they been present at build time (the multi-level analog
     of the reference's per-node ``model.predict``,
     ``search/li/model.py:213-224``)."""
-    q = (
-        vectors
-        if isinstance(vectors, jax.Array)
-        else jnp.asarray(np.asarray(vectors, np.float32))
-    )
+    if isinstance(vectors, jax.Array):
+        q = vectors  # device callers manage their own shapes
+        m = q.shape[0]
+    else:
+        q = np.asarray(vectors, np.float32)
+        m = len(q)
+        if m == 0:
+            return np.zeros((0, len(index.levels)), np.int64)
+        # serving inserts arrive at arbitrary batch sizes; the batch
+        # size is a traced shape, so pad to an ⅛-octave boundary
+        # (repeat row 0) to bound the number of compiled programs —
+        # the search path's same trick (index.py sticky Q-padding)
+        from learnedmetricindex_tpu.index.bucket_store import _quantize
+
+        mp = _quantize(m, 8)
+        if mp != m:
+            q = np.concatenate(
+                [q, np.broadcast_to(q[:1], (mp - m, q.shape[1]))]
+            )
     out = _classify_device(
-        q,
+        jnp.asarray(q),
         tuple(level.params for level in index.levels),
         tuple(jnp.asarray(level.class_mask) for level in index.levels),
         cats=tuple(index.config.n_categories),
     )
-    return np.asarray(out).astype(np.int64)
+    return np.asarray(out)[:m].astype(np.int64)
 
 
 # ----------------------------------------------------------------------
@@ -180,6 +194,7 @@ def insert_rows(
     1-based, caller-allocated (``DynamicIndex`` auto-allocates).
     """
     store = ensure_mutable(store)
+    orig_hint_id = id(store.chunk_ids)  # _grow_device may swap it
     vectors = np.asarray(vectors, np.float32)
     bucket_ids = np.asarray(bucket_ids, np.int64)
     object_ids = np.asarray(object_ids, np.int64)
@@ -192,6 +207,24 @@ def insert_rows(
         raise ValueError("object ids are 1-based (reference convention)")
     if bucket_ids.min() < 0 or bucket_ids.max() >= store.n_buckets:
         raise ValueError("bucket id out of range")
+    # id-collision guard: a duplicate live id would create a second row
+    # whose twin becomes an undeletable ghost (row_slot can only point
+    # at one of them) — reject both intra-batch dupes and live ids
+    if len(np.unique(object_ids)) != m:
+        raise ValueError("duplicate object ids within the insert batch")
+    maybe = object_ids[object_ids <= store.row_slot.shape[0]]
+    if len(maybe):
+        ids_dev = jnp.asarray(maybe, jnp.int32)
+        slots_of = store.row_slot[ids_dev - 1]
+        live = np.asarray(
+            store.chunk_ids.reshape(-1)[slots_of] == ids_dev
+        )
+        if live.any():
+            raise ValueError(
+                f"{int(live.sum())} object id(s) already live (e.g. "
+                f"{int(maybe[np.argmax(live)])}) — delete first or "
+                "use fresh ids"
+            )
 
     chunk = store.chunk
     ptr = store.bucket_chunk_ptr.astype(np.int64)
@@ -296,7 +329,7 @@ def insert_rows(
 
     fill[affected] += counts_new[affected]
     sizes[affected] += counts_new[affected]
-    return store._replace(
+    out = store._replace(
         chunk_data=chunk_data,
         chunk_ids=chunk_ids,
         chunk_scales=chunk_scales,
@@ -306,6 +339,14 @@ def insert_rows(
         bucket_fill=fill.astype(np.int32),
         bucket_sizes=sizes.astype(np.int32),
     )
+    # carry compiled-shape hints across the array swap (serving
+    # stability: without this every mutation strands a hint entry)
+    from learnedmetricindex_tpu.index.bucket_store import (
+        migrate_shape_hints,
+    )
+
+    migrate_shape_hints(orig_hint_id, id(out.chunk_ids))
+    return out
 
 
 def delete_ids(
@@ -315,7 +356,9 @@ def delete_ids(
     Absent ids are skipped (idempotent).  Slots become padding in place
     (id 0, scale 0.0) — both scan engines already ignore them."""
     store = ensure_mutable(store)
-    object_ids = np.asarray(object_ids, np.int64)
+    # dedup: duplicate ids in one call must count (and decrement the
+    # bucket-size accounting) once, not once per occurrence
+    object_ids = np.unique(np.asarray(object_ids, np.int64))
     if len(object_ids) == 0:
         return store, 0
     in_range = (object_ids >= 1) & (object_ids <= store.row_slot.shape[0])
@@ -330,6 +373,7 @@ def delete_ids(
     if n_del == 0:
         return store, 0
     slots_dev = jnp.asarray(slots_np, jnp.int32)
+    orig_hint_id = id(store.chunk_ids)
     chunk_ids = (
         store.chunk_ids.reshape(-1)
         .at[slots_dev]
@@ -348,14 +392,17 @@ def delete_ids(
     )
     sizes = store.bucket_sizes.astype(np.int64).copy()
     np.subtract.at(sizes, chunk_bucket[chunk_of], 1)
-    return (
-        store._replace(
-            chunk_ids=chunk_ids,
-            chunk_scales=chunk_scales,
-            bucket_sizes=sizes.astype(np.int32),
-        ),
-        n_del,
+    out = store._replace(
+        chunk_ids=chunk_ids,
+        chunk_scales=chunk_scales,
+        bucket_sizes=sizes.astype(np.int32),
     )
+    from learnedmetricindex_tpu.index.bucket_store import (
+        migrate_shape_hints,
+    )
+
+    migrate_shape_hints(orig_hint_id, id(out.chunk_ids))
+    return out, n_del
 
 
 # ----------------------------------------------------------------------
@@ -396,18 +443,31 @@ class DynamicIndex(Logger):
         dtype=None,
     ) -> "DynamicIndex":
         """Stand up a mutable store from a fresh build's outputs (host
-        corpus + the builder's ``data_prediction``)."""
+        corpus + the builder's ``data_prediction``).  ``dtype=jnp.int8``
+        builds the row-scaled quantized store (``build_packed_int8``
+        semantics — a bare cast would truncate unit-norm components to
+        all zeros)."""
         bucket_ids = index.bucket_ids_from_prediction(data_prediction)
         n_total = int(
             np.prod(index.config.n_categories, dtype=np.int64)
         )
-        store = BucketStore.build(
-            np.asarray(data_search, np.float32),
-            bucket_ids,
-            n_buckets=n_total,
-            chunk=chunk or index.config.chunk_size,
-            dtype=dtype or jnp.dtype(index.config.dtype),
-        )
+        chunk = chunk or index.config.chunk_size
+        dtype = jnp.dtype(dtype or index.config.dtype)
+        if dtype == jnp.int8:
+            store = BucketStore.build_packed_int8(
+                np.asarray(data_search, np.float32),
+                bucket_ids,
+                n_buckets=n_total,
+                chunk=chunk,
+            )
+        else:
+            store = BucketStore.build(
+                np.asarray(data_search, np.float32),
+                bucket_ids,
+                n_buckets=n_total,
+                chunk=chunk,
+                dtype=dtype,
+            )
         return cls(index, store)
 
     @property
@@ -425,6 +485,8 @@ class DynamicIndex(Logger):
             )
         else:
             object_ids = np.asarray(object_ids, np.int64)
+        if m == 0:
+            return object_ids[:0]
         pred = classify(self.index, vectors)
         bucket_ids = self.index.bucket_ids_from_prediction(pred)
         self.store = insert_rows(self.store, vectors, bucket_ids, object_ids)

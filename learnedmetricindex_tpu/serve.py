@@ -203,7 +203,10 @@ class SearchServer(Logger):
 
     def _require_dynamic(self):
         if self.dynamic is None:
-            raise RuntimeError(
+            # ValueError: a client-side misuse (HTTP 400), unlike
+            # RuntimeError which device failures (JaxRuntimeError)
+            # subclass and which must stay a 500 at the HTTP boundary
+            raise ValueError(
                 "this server wraps an immutable (index, store) pair — "
                 "construct SearchServer(DynamicIndex(...)) to serve "
                 "inserts and deletes"
@@ -453,7 +456,7 @@ def make_http_server(server: SearchServer, host: str = "127.0.0.1",
                     self._reply(200, {"deleted": n})
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
-            except (KeyError, ValueError, TypeError, RuntimeError) as e:
+            except (KeyError, ValueError, TypeError) as e:
                 self._reply(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — serving boundary
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})

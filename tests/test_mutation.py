@@ -202,3 +202,59 @@ def test_low_level_insert_validation(built):
     # zero-row edits are no-ops
     assert insert_rows(st, data[:0], np.array([]), np.array([])) is st
     assert delete_ids(st, np.array([]))[0] is st
+
+
+def test_insert_rejects_live_and_duplicate_ids(built):
+    data, _, extra, index, data_prediction, _ = built
+    dyn = DynamicIndex.from_built(index, data, data_prediction)
+    # live collision: id 5 exists from the build
+    with pytest.raises(ValueError, match="already live"):
+        dyn.insert(extra[:1], object_ids=np.array([5]))
+    # intra-batch duplicate
+    with pytest.raises(ValueError, match="duplicate"):
+        dyn.insert(extra[:2], object_ids=np.array([9001, 9001]))
+    # the failed inserts changed nothing
+    assert dyn.n_rows == len(data)
+
+    # empty insert is a clean no-op returning an empty id array
+    ids = dyn.insert(extra[:0])
+    assert ids.shape == (0,)
+    assert dyn.n_rows == len(data)
+
+
+def test_delete_duplicates_count_once(built):
+    data, _, extra, index, data_prediction, _ = built
+    dyn = DynamicIndex.from_built(index, data, data_prediction)
+    sizes_before = dyn.store.bucket_sizes.copy()
+    assert dyn.delete(np.array([7, 7, 7, 7])) == 1
+    assert dyn.n_rows == len(data) - 1
+    assert (sizes_before - dyn.store.bucket_sizes).sum() == 1
+
+
+def test_from_built_int8_quantizes(built):
+    data, queries, _, index, data_prediction, _ = built
+    import jax.numpy as jnp
+
+    dyn = DynamicIndex.from_built(
+        index, data, data_prediction, dtype=jnp.int8
+    )
+    assert dyn.store.chunk_data.dtype == np.int8
+    assert dyn.store.chunk_scales is not None  # row-scaled, not a cast
+    gt = _oracle_ids(data, queries)
+    _, nns, _ = dyn.search(queries, n_buckets=index.n_buckets, k=10)
+    assert recall(nns, gt, 10) > 0.99
+
+
+def test_mutation_migrates_shape_hints(built):
+    data, queries, extra, index, data_prediction, _ = built
+    from learnedmetricindex_tpu.index import bucket_store as bs
+
+    dyn = DynamicIndex.from_built(index, data, data_prediction)
+    dyn.search(queries, n_buckets=index.n_buckets, k=10)
+    old_id = id(dyn.store.chunk_ids)
+    old_keys = {k for k in bs._SHAPE_HINTS if k[0] == old_id}
+    assert old_keys  # the search registered hints for this store
+    dyn.insert(extra[:5])
+    new_id = id(dyn.store.chunk_ids)
+    assert not any(k[0] == old_id for k in bs._SHAPE_HINTS)
+    assert {k for k in bs._SHAPE_HINTS if k[0] == new_id}

@@ -168,7 +168,7 @@ def test_dynamic_server_insert_delete(served):
         store = index.get_bucket_store(data, pred)
         plain = SearchServer(index, store, k=5, n_buckets=4,
                              max_batch=64, max_wait_ms=0.0, warmup=False)
-        with pytest.raises(RuntimeError, match="immutable"):
+        with pytest.raises(ValueError, match="immutable"):
             plain.insert(data[:1])
         plain.close()
 
