@@ -22,10 +22,17 @@ Production entry point (same code path):
 """
 
 import json
+import os
+import sys
 import threading
 import urllib.request
 
 import numpy as np
+
+# import the package from a source checkout (sys.path[0] is examples/)
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def main() -> None:

@@ -475,6 +475,25 @@ class DynamicIndex(Logger):
         """Live (non-deleted) rows."""
         return int(self.store.bucket_sizes.sum())
 
+    # ---- persistence (the corpus lives in the store: serve-time
+    # inserts exist nowhere else, so checkpoints save the packed
+    # arrays, unlike the plain index's models-only npz) ----
+
+    def save(self, path: str) -> None:
+        from learnedmetricindex_tpu.index.serialization import (
+            save_dynamic_index,
+        )
+
+        save_dynamic_index(self, path)
+
+    @classmethod
+    def load(cls, path: str) -> "DynamicIndex":
+        from learnedmetricindex_tpu.index.serialization import (
+            load_dynamic_index,
+        )
+
+        return load_dynamic_index(path)
+
     def insert(self, vectors, object_ids=None) -> np.ndarray:
         """Classify + append; returns the rows' 1-based object ids."""
         vectors = np.asarray(vectors, np.float32)

@@ -517,10 +517,23 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     lmi.enable_compilation_cache()
 
+    dyn = None
     if args.synthetic:
         index, data_prediction, data = _build_demo_index(
             args.synthetic, args.d, args.buckets
         )
+    elif args.index and not args.data:
+        # a mutable-deployment checkpoint carries its own corpus
+        # (serve-time inserts exist nowhere else) — no --data needed
+        from learnedmetricindex_tpu.index.serialization import (
+            load_dynamic_index,
+        )
+
+        try:
+            dyn = load_dynamic_index(args.index)
+        except ValueError as e:
+            p.error(str(e) + " (plain checkpoints also need --data)")
+        args.dynamic = True
     else:
         if not args.index or not args.data:
             p.error("--index and --data are required (or use --synthetic N)")
@@ -543,7 +556,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         precision=args.precision, rerank=not args.no_rerank,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
     )
-    if args.dynamic:
+    if dyn is not None:
+        server = SearchServer(dyn, **knobs)
+    elif args.dynamic:
         from learnedmetricindex_tpu.index.mutation import DynamicIndex
 
         server = SearchServer(

@@ -258,3 +258,45 @@ def test_mutation_migrates_shape_hints(built):
     new_id = id(dyn.store.chunk_ids)
     assert not any(k[0] == old_id for k in bs._SHAPE_HINTS)
     assert {k for k in bs._SHAPE_HINTS if k[0] == new_id}
+
+
+def test_dynamic_checkpoint_roundtrip(tmp_path, built):
+    """save/load of a mutated deployment: the corpus lives in the
+    store (serve-time inserts exist nowhere else), so the checkpoint
+    must reproduce searches bitwise and resume id allocation."""
+    data, queries, extra, index, data_prediction, _ = built
+    for dtype in (None, "int8", "bfloat16"):
+        import jax.numpy as jnp
+
+        dyn = DynamicIndex.from_built(
+            index, data, data_prediction, chunk=64,
+            dtype=jnp.dtype(dtype) if dtype else None,
+        )
+        ids = dyn.insert(extra)          # forces overflow chunks
+        dyn.delete(ids[::3])             # and delete holes
+        d1, n1, _ = dyn.search(queries, n_buckets=index.n_buckets, k=10)
+
+        path = str(tmp_path / f"dyn_{dtype}.npz")
+        dyn.save(path)
+        back = DynamicIndex.load(path)
+        assert back.next_id == dyn.next_id
+        assert back.n_rows == dyn.n_rows
+        assert back.store.chunk_data.dtype == dyn.store.chunk_data.dtype
+        d2, n2, _ = back.search(queries, n_buckets=index.n_buckets, k=10)
+        np.testing.assert_array_equal(n1, n2)
+        np.testing.assert_array_equal(d1, d2)
+
+        # resumed instance keeps mutating without id collisions
+        more = back.insert(extra[:5])
+        assert more.min() > ids.max()
+
+    # plain checkpoints are rejected with a pointer to load_index
+    from learnedmetricindex_tpu.index.serialization import (
+        load_dynamic_index,
+        save_index,
+    )
+
+    plain = str(tmp_path / "plain.npz")
+    save_index(index, plain, data_prediction)
+    with pytest.raises(ValueError, match="load_index"):
+        load_dynamic_index(plain)
