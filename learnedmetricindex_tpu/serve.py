@@ -137,8 +137,12 @@ class SearchServer(Logger):
         self.rerank_margin = int(rerank_margin)
         self.max_batch = int(max_batch)
         self.max_wait_ms = float(max_wait_ms)
-        self.d = int(store.chunk_data.shape[1]) if store.chunk_data is not None \
-            else int(store.data_ref.shape[1])
+        # last axis covers all store layouts: packed (n_slots, d),
+        # virtual data_ref (n, d), and sharded (D, n_slots, d) — the
+        # multi-chip ShardedStore serves through the same dispatcher
+        # (index.search routes it to sharded_search)
+        self.d = int(store.chunk_data.shape[-1]) if store.chunk_data is not None \
+            else int(store.data_ref.shape[-1])
 
         self._lock = threading.Condition()
         self._pending: deque = deque()

@@ -231,3 +231,30 @@ def test_http_mutation_rejected_on_immutable_server(served):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_server_over_sharded_store():
+    """Multi-chip serving: the same SearchServer dispatcher over a
+    bucket-sharded store (index.search routes it to sharded_search).
+    Needs the 8-virtual-device mesh."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from learnedmetricindex_tpu.parallel.mesh import create_mesh
+
+    data, queries = synthetic_blobs(3000, 24, 32, n_clusters=12, seed=13)
+    mesh = create_mesh(8)
+    cfg = lmi.BuildConfiguration("kmeans", 30, "MLP-2", 0.01, [8], seed=13,
+                                 chunk_size=256)
+    index, pred, *_ = lmi.LearnedIndexBuilder(data, cfg, mesh=mesh).build()
+    store = index.get_sharded_store(data, pred, mesh)
+    server = SearchServer(index, store, k=10, n_buckets=8, max_batch=64,
+                          max_wait_ms=0.0, warmup=False)
+    try:
+        assert server.d == 24  # (D, n_slots, d) layout: last axis
+        d, i = server.search(queries)
+        _, gt = exact_knn(data, queries, k=10)
+        assert recall(i, gt, 10) == 1.0
+    finally:
+        server.close()
