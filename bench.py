@@ -297,6 +297,13 @@ def main():
                         "subsets) timed individually — exercises the "
                         "sticky compiled-shape reuse; reports "
                         "p50/p95/max batch latency")
+    p.add_argument("--serving-churn", type=int, default=0,
+                   help="with --serving: additionally run the same N "
+                        "batches against a DynamicIndex while "
+                        "inserting/deleting this many rows between "
+                        "batches — probes serving latency under "
+                        "corpus mutation (hint migration keeps the "
+                        "compiled envelope; growth re-jits bounded)")
     p.add_argument("--dataset", default="",
                    help="run on staged SISAP data instead of synthetic: "
                         "kind (e.g. clip768v2); requires dataset.h5 + "
@@ -492,6 +499,60 @@ def main():
             f"p50={serving['p50_s']}s p95={serving['p95_s']}s "
             f"max={serving['max_s']}s "
             f"(>3x p50: {serving['slow_batches_over_3x_p50']})")
+
+    if args.serving and args.serving_churn:
+        # the same variable-size batches, now against a mutating
+        # corpus: insert/delete --serving-churn rows between batches
+        # through DynamicIndex (store snapshots swap; shape hints
+        # migrate, so steady-state batches stay compile-free)
+        from learnedmetricindex_tpu.index.mutation import DynamicIndex
+
+        if store.chunk_data is None:
+            raise SystemExit(
+                "--serving-churn needs a packed store (mutation has "
+                "nothing to write into a virtual store) — drop "
+                "--store virtual"
+            )
+        dyn = DynamicIndex(index, store)
+        c_rng = np.random.default_rng(11)
+        lat_c, mut_c = [], []
+        for b in range(args.serving):
+            rows = c_rng.normal(
+                size=(args.serving_churn, queries.shape[1])
+            ).astype(np.float32)
+            rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+            t0 = time.perf_counter()
+            new_ids = dyn.insert(rows)
+            dyn.delete(new_ids[: len(new_ids) // 2])
+            mut_c.append(time.perf_counter() - t0)
+            q_n = int(c_rng.integers(int(args.queries * 0.8),
+                                     args.queries + 1))
+            sel = c_rng.choice(args.queries, size=q_n, replace=False)
+            batch = queries[np.sort(sel)]
+            t0 = time.perf_counter()
+            index.search(
+                None, batch, None, batch, pred, None,
+                n_buckets=args.visit, k=10, approx_recall=approx,
+                store=dyn.store, rerank_margin=args.rerank_margin,
+                precision=precision, rerank=rerank,
+            )
+            lat_c.append(time.perf_counter() - t0)
+        lat_a = np.array(lat_c)
+        serving["churn"] = {
+            "rows_per_batch": args.serving_churn,
+            "p50_s": round(float(np.percentile(lat_a, 50)), 4),
+            "p95_s": round(float(np.percentile(lat_a, 95)), 4),
+            "max_s": round(float(lat_a.max()), 4),
+            "mutation_p50_s": round(float(np.percentile(mut_c, 50)), 4),
+            "slow_batches_over_3x_p50": int(
+                (lat_a > 3 * np.percentile(lat_a, 50)).sum()
+            ),
+        }
+        log(f"  serving+churn({args.serving_churn} rows/batch): "
+            f"p50={serving['churn']['p50_s']}s "
+            f"p95={serving['churn']['p95_s']}s "
+            f"max={serving['churn']['max_s']}s "
+            f"mutation p50={serving['churn']['mutation_p50_s']}s")
 
     curve = {}
     if args.recall_curve:

@@ -155,7 +155,13 @@ def ensure_mutable(store: BucketStore) -> BucketStore:
 
 def _grow_device(store: BucketStore, extra_chunks: int) -> BucketStore:
     """Append ``extra_chunks`` zeroed chunks to the device arrays (one
-    O(n) copy; callers grow geometrically so copies amortize)."""
+    O(n) copy; callers grow geometrically so copies amortize).
+
+    HBM peak during the copy is old + new store bytes.  Near the
+    single-chip ceiling (e.g. the 10M×768 int8 flagship at ~7.9 GB)
+    budget for that spike: fresh builds carry ≤ n_buckets·chunk slots
+    of tail padding to absorb inserts copy-free, and ``compact()``
+    restores that headroom after heavy churn."""
     chunk, d = store.chunk, store.chunk_data.shape[1]
     pad_rows = extra_chunks * chunk
     chunk_data = jnp.concatenate(
