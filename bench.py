@@ -582,7 +582,10 @@ def main():
         gc.collect()
         log("packing 2-level store ...")
         store2 = pack_store(two_index, two_pred)
-        os.makedirs("bench_artifacts", exist_ok=True)
+        # quick probes must not overwrite the recorded flagship-scale
+        # artifacts (res.csv / result.png / *.h5 are committed)
+        art_dir = "bench_artifacts/quick" if args.quick else "bench_artifacts"
+        os.makedirs(art_dir, exist_ok=True)
         from learnedmetricindex_tpu import eval as lmi_eval
 
         result_files = []
@@ -606,7 +609,7 @@ def main():
                 "search_s": round(sv * (10_000 / args.queries), 3),
             }
             log(f"  2-level visit={v}: recall={rv:.4f} search={sv:.3f}s")
-            dst = f"bench_artifacts/two_level_v{v}.h5"
+            dst = f"{art_dir}/two_level_v{v}.h5"
             # store only rows with ground truth: evaluate_to_csv below
             # compares against gt (gt_q rows)
             dd = np.zeros((gt_q, 10), np.float32)
@@ -617,11 +620,11 @@ def main():
             )
             result_files.append(dst)
         rows = lmi_eval.evaluate_to_csv(
-            result_files, gt, csv_path="bench_artifacts/res.csv"
+            result_files, gt, csv_path=f"{art_dir}/res.csv"
         )
         try:
-            lmi_eval.plot_results(rows, "bench_artifacts/result.png")
-            log("  wrote bench_artifacts/res.csv + result.png")
+            lmi_eval.plot_results(rows, f"{art_dir}/result.png")
+            log(f"  wrote {art_dir}/res.csv + result.png")
         except RuntimeError as e:  # pragma: no cover
             log(f"  plot skipped: {e}")
 
