@@ -300,3 +300,44 @@ def test_dynamic_checkpoint_roundtrip(tmp_path, built):
     save_index(index, plain, data_prediction)
     with pytest.raises(ValueError, match="load_index"):
         load_dynamic_index(plain)
+
+
+def test_randomized_interleaving_matches_model(built):
+    """Fuzz the mutation surface: a random interleaving of inserts,
+    deletes, compacts, and searches must always agree with a plain
+    Python dict model of (id -> vector) under full-visit search."""
+    data, queries, _, index, data_prediction, _ = built
+    rng = np.random.default_rng(17)
+    dyn = DynamicIndex.from_built(index, data, data_prediction, chunk=64)
+    model = {i + 1: data[i] for i in range(len(data))}
+
+    def check():
+        corpus = np.stack(list(model.values()))
+        ids = np.fromiter(model.keys(), np.int64)
+        gt_rows = _oracle_ids(corpus, queries[:20])
+        gt = ids[gt_rows - 1]
+        _, nns, _ = dyn.search(queries[:20], n_buckets=index.n_buckets,
+                               k=10)
+        assert recall(nns, gt, 10) == 1.0
+        assert dyn.n_rows == len(model)
+
+    for step in range(12):
+        op = rng.choice(["insert", "delete", "compact"])
+        if op == "insert":
+            k = int(rng.integers(1, 80))
+            vecs = rng.normal(size=(k, data.shape[1])).astype(np.float32)
+            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+            ids = dyn.insert(vecs)
+            model.update(zip(ids.tolist(), vecs))
+        elif op == "delete" and len(model) > 100:
+            live = np.fromiter(model.keys(), np.int64)
+            victims = rng.choice(live, size=int(rng.integers(1, 60)),
+                                 replace=False)
+            assert dyn.delete(victims) == len(victims)
+            for v in victims:
+                del model[int(v)]
+        else:
+            dyn.compact()
+        if step % 3 == 2:
+            check()
+    check()
