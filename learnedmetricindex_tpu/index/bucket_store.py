@@ -79,7 +79,11 @@ def _sticky_quantize(key, name: str, size: int, multiple: int) -> int:
     hints = _SHAPE_HINTS.setdefault(key, {})
     q = _quantize(size, multiple)
     prev = hints.get(name, 0)
-    if prev >= size:
+    # prev % multiple: hint keys are id()-based, and a recycled id()
+    # from a GC'd store with a different chunk/qtile could hand back a
+    # padding that violates the caller's divisibility contract — treat
+    # such a stale entry as absent instead of crashing the scan
+    if prev >= size and prev % multiple == 0:
         return prev
     hints[name] = q
     return q

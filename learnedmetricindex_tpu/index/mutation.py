@@ -37,6 +37,7 @@ Single-controller stores only (a sharded store re-shards on rebuild).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -45,6 +46,8 @@ import numpy as np
 
 from learnedmetricindex_tpu.index.bucket_store import BucketStore
 from learnedmetricindex_tpu.utils.logging import Logger
+
+_INT32_MAX = 2**31 - 1
 
 
 # ----------------------------------------------------------------------
@@ -211,6 +214,26 @@ def insert_rows(
         raise ValueError("vectors / bucket_ids / object_ids length mismatch")
     if object_ids.min() < 1:
         raise ValueError("object ids are 1-based (reference convention)")
+    max_id = int(object_ids.max())
+    # ids live in int32 device arrays (chunk_ids); anything larger
+    # would silently wrap negative and become an invisible ghost row.
+    # row_slot is dense over the id space (4 bytes per allocated id),
+    # so a huge sparse id is also an allocation hazard — serving
+    # deployments reach this path straight from HTTP.  Both bounds are
+    # therefore hard errors, the second one configurable.
+    if max_id > _INT32_MAX:
+        raise ValueError(
+            f"object id {max_id} exceeds int32 range ({_INT32_MAX}); "
+            "ids are stored as int32 on device"
+        )
+    id_cap = int(os.environ.get("LMI_MAX_OBJECT_ID", 1 << 28))
+    if max_id > id_cap:
+        raise ValueError(
+            f"object id {max_id} exceeds the configured id-space cap "
+            f"({id_cap}); the id→slot map is dense (4 B per id up to "
+            "the max id), so sparse giant ids waste HBM — renumber, "
+            "or raise LMI_MAX_OBJECT_ID if the allocation is intended"
+        )
     if bucket_ids.min() < 0 or bucket_ids.max() >= store.n_buckets:
         raise ValueError("bucket id out of range")
     # id-collision guard: a duplicate live id would create a second row

@@ -241,17 +241,21 @@ def max_best_first_queries(n_entries: int) -> int:
     traversal state (``n_entries * 5`` bytes per query, see
     :func:`check_best_first_budget`) within the configured budget —
     rounded down to a power of two so the sliced dispatches reuse one
-    compiled program.  Always ≥ 1: the single-controller public path
+    compiled program.  The single-controller public path
     (``index.compute_bucket_order``) navigates wide trees in query
     slices of this size instead of failing; the traversal is per-query
-    independent, so slicing is exact."""
+    independent, so slicing is exact.  When even ONE query's state
+    exceeds the budget, slicing cannot help — raise the loud budget
+    error rather than silently dispatch over-budget 1-query slices."""
     import os
 
     budget = int(
         os.environ.get("LMI_MAX_NAV_STATE_BYTES", MAX_NAV_STATE_BYTES)
     )
     per_q = max(int(n_entries) * 5, 1)
-    m = max(budget // per_q, 1)
+    m = budget // per_q
+    if m < 1:
+        check_best_first_budget(1, n_entries)  # raises
     return 1 << (int(m).bit_length() - 1)
 
 

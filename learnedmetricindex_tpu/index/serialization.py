@@ -27,6 +27,15 @@ from learnedmetricindex_tpu.index.navigation import TreeLayout
 FORMAT_VERSION = 1
 
 
+def _savez(path: str, arrays: dict) -> None:
+    """``np.savez_compressed`` appends ``.npz`` to bare paths, which
+    would make ``save(path)`` / ``load(path)`` disagree on the file
+    name — write through an open handle so the caller's exact path is
+    the file that exists."""
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **arrays)
+
+
 def save_index(
     index: LearnedIndex,
     path: str,
@@ -54,7 +63,7 @@ def save_index(
         for lj, layer in enumerate(level.params):
             arrays[f"level{li}_layer{lj}_w"] = np.asarray(layer["w"])
             arrays[f"level{li}_layer{lj}_b"] = np.asarray(layer["b"])
-    np.savez_compressed(path, **arrays)
+    _savez(path, arrays)
 
 
 def load_index(path: str) -> Tuple[LearnedIndex, Optional[np.ndarray]]:
@@ -149,7 +158,7 @@ def save_dynamic_index(dyn, path: str) -> None:
         for lj, layer in enumerate(level.params):
             arrays[f"level{li}_layer{lj}_w"] = np.asarray(layer["w"])
             arrays[f"level{li}_layer{lj}_b"] = np.asarray(layer["b"])
-    np.savez_compressed(path, **arrays)
+    _savez(path, arrays)
 
 
 def load_dynamic_index(path: str):

@@ -387,6 +387,29 @@ def test_fused_shapes_sticky_across_batches(monkeypatch):
     np.testing.assert_array_equal(i2[fin], i2x[fin])
 
 
+def test_sticky_hint_with_wrong_multiple_is_recomputed():
+    """Hint keys are ``id()``-based; after a store is GC'd a new store
+    can recycle the same id with a DIFFERENT chunk/qtile, so a stale
+    entry may violate the new caller's divisibility contract.  The
+    lookup must treat such an entry as absent (recompute) — not hand
+    it back and crash the scan on the ``Wp % items_per_step`` assert."""
+    import learnedmetricindex_tpu.index.bucket_store as bs
+
+    key = ("unit-test-sticky", 8, 4)
+    bs._SHAPE_HINTS.pop(key, None)
+    try:
+        # old store compiled Wp=200 under items_per_step=5
+        assert bs._sticky_quantize(key, "Wp", 200, 5) % 5 == 0
+        # recycled id(): same key, items_per_step now 32 — 200 would
+        # trip the kernel's divisibility assert; expect a fresh value
+        got = bs._sticky_quantize(key, "Wp", 40, 32)
+        assert got % 32 == 0 and got >= 40
+        # and the fresh value replaces the stale hint
+        assert bs._SHAPE_HINTS[key]["Wp"] == got
+    finally:
+        bs._SHAPE_HINTS.pop(key, None)
+
+
 def test_xla_work_list_sticky_and_exact():
     """The XLA sort-merge engine's work-list padding (Wp) reuses the
     store's sticky hint too — its re-jit is the costliest of all — and

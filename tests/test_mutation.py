@@ -202,6 +202,24 @@ def test_low_level_insert_validation(built):
     # zero-row edits are no-ops
     assert insert_rows(st, data[:0], np.array([]), np.array([])) is st
     assert delete_ids(st, np.array([]))[0] is st
+    # ids are stored int32 on device: an id past int32 range would
+    # silently wrap negative (ghost row) — hard error instead
+    with pytest.raises(ValueError, match="int32"):
+        insert_rows(st, v, np.array([0, 1]), np.array([1, 2**31 + 5]))
+    # the id→slot map is dense over the id space, so a giant sparse id
+    # is an HBM allocation hazard (HTTP-reachable via serve.py) —
+    # rejected at the configurable cap
+    with pytest.raises(ValueError, match="LMI_MAX_OBJECT_ID"):
+        insert_rows(st, v, np.array([0, 1]), np.array([1, 2_000_000_000]))
+    # ...and the cap is a knob, not a wall
+    import os
+
+    os.environ["LMI_MAX_OBJECT_ID"] = str(2_000_000)
+    try:
+        st2 = insert_rows(st, v, np.array([0, 1]), np.array([1_999_999, 2_000_000]))
+        assert st2.row_slot.shape[0] >= 2_000_000
+    finally:
+        del os.environ["LMI_MAX_OBJECT_ID"]
 
 
 def test_insert_rejects_live_and_duplicate_ids(built):
@@ -300,6 +318,36 @@ def test_dynamic_checkpoint_roundtrip(tmp_path, built):
     save_index(index, plain, data_prediction)
     with pytest.raises(ValueError, match="load_index"):
         load_dynamic_index(plain)
+
+
+def test_checkpoint_paths_without_npz_suffix(tmp_path, built):
+    """np.savez_compressed appends '.npz' to bare paths — save(path)
+    and load(path) must agree on the EXACT name the caller used, for
+    both plain and dynamic checkpoints (a serving operator's
+    dyn.save('deploy.ckpt') must be loadable as 'deploy.ckpt')."""
+    import os
+
+    from learnedmetricindex_tpu.index.serialization import (
+        load_index,
+        save_index,
+    )
+
+    data, queries, _, index, data_prediction, _ = built
+
+    plain = str(tmp_path / "plain.ckpt")
+    save_index(index, plain, data_prediction)
+    assert os.path.exists(plain) and not os.path.exists(plain + ".npz")
+    back, pred = load_index(plain)
+    np.testing.assert_array_equal(pred, data_prediction)
+
+    dyn = DynamicIndex.from_built(index, data, data_prediction, chunk=64)
+    d1, n1, _ = dyn.search(queries, n_buckets=index.n_buckets, k=10)
+    ckpt = str(tmp_path / "deploy.ckpt")
+    dyn.save(ckpt)
+    assert os.path.exists(ckpt) and not os.path.exists(ckpt + ".npz")
+    back = DynamicIndex.load(ckpt)
+    d2, n2, _ = back.search(queries, n_buckets=index.n_buckets, k=10)
+    np.testing.assert_array_equal(n1, n2)
 
 
 def test_randomized_interleaving_matches_model(built):

@@ -189,6 +189,23 @@ def test_wide_tree_best_first_guard(monkeypatch):
     assert joint.shape == (8, 5)
 
 
+def test_nav_slice_refuses_single_query_over_budget(monkeypatch):
+    """When ONE query's traversal state already exceeds the budget,
+    query-slicing cannot help — ``max_best_first_queries`` must raise
+    the loud budget error, not return 1 and let the public path issue
+    over-budget single-query dispatches."""
+    import pytest
+
+    from learnedmetricindex_tpu.index.navigation import (
+        max_best_first_queries,
+    )
+
+    monkeypatch.setenv("LMI_MAX_NAV_STATE_BYTES", "1000")
+    with pytest.raises(ValueError, match="joint"):
+        max_best_first_queries(n_entries=300)  # 1500 B/query > 1000 B
+    assert max_best_first_queries(n_entries=50) >= 1  # 250 B/query: fine
+
+
 def test_wide_tree_public_path_auto_slices(monkeypatch):
     """The PUBLIC navigation path (``index.compute_bucket_order``) no
     longer fails on wide trees: over the state budget it navigates in
