@@ -378,6 +378,103 @@ def insert_rows(
     return out
 
 
+def compact_store(store: BucketStore) -> BucketStore:
+    """Repack a mutated store on device: drop delete holes and
+    overflow-chunk fragmentation without moving the corpus through the
+    host.
+
+    The host reads ONLY the id grid (4 B per slot — ~40 MB at 10M
+    slots) and computes the live-slot permutation; the vectors
+    themselves move in one on-device row gather.  The previous
+    implementation pulled every live row to the host and rebuilt
+    (``np.asarray(chunk_data[live])`` + re-upload) — at the 10M×768
+    flagship that is ~15 GB through a 20–50 MB/s host link (hours);
+    this path is seconds.  Rows KEEP their buckets (compaction is a
+    layout operation, not a re-route) and their relative within-bucket
+    scan order, so tie-breaking — and therefore search output — is
+    bit-identical before/after; int8 stores keep their exact quantized
+    values and scales (no dequantize/requantize drift)."""
+    store = ensure_mutable(store)
+    chunk = store.chunk
+    flat_ids = np.asarray(store.chunk_ids.reshape(-1))
+    n_slots = flat_ids.shape[0]
+
+    # slot → (bucket, within-bucket scan position) via the chunk list
+    ptr = store.bucket_chunk_ptr.astype(np.int64)
+    clist = store.bucket_chunk_list.astype(np.int64)
+    per_bucket = ptr[1:] - ptr[:-1]
+    entry_bucket = np.repeat(
+        np.arange(store.n_buckets, dtype=np.int64), per_bucket
+    )
+    chunk_bucket = np.full(store.n_chunks, -1, np.int64)
+    chunk_bucket[clist] = entry_bucket
+    chunk_pos = np.zeros(store.n_chunks, np.int64)
+    chunk_pos[clist] = (
+        np.arange(len(clist), dtype=np.int64) - ptr[entry_bucket]
+    )
+    slot_chunk = np.arange(n_slots, dtype=np.int64) // chunk
+    b_of_slot = chunk_bucket[slot_chunk]
+    # free-pool chunks are unassigned (bucket -1) and hold only id-0
+    # padding, but guard anyway
+    live_idx = np.nonzero((flat_ids > 0) & (b_of_slot >= 0))[0]
+    scan_pos = chunk_pos[slot_chunk] * chunk + np.arange(n_slots) % chunk
+    order = np.lexsort((scan_pos[live_idx], b_of_slot[live_idx]))
+    src = live_idx[order]  # old slots, new scan order
+    bs = b_of_slot[src]
+
+    new_sizes = np.bincount(bs, minlength=store.n_buckets)
+    nchunks = -(-new_sizes // chunk)
+    starts = np.concatenate([[0], np.cumsum(nchunks)]).astype(np.int64)
+    n_chunks_new = max(int(starts[-1]), 1)  # engines need ≥ 1 chunk
+    cum = np.concatenate([[0], np.cumsum(new_sizes)]).astype(np.int64)
+    within = np.arange(len(src), dtype=np.int64) - cum[bs]
+    dst = starts[bs] * chunk + within
+    src_for_dst = np.full(n_chunks_new * chunk, -1, np.int64)
+    src_for_dst[dst] = src
+
+    # one device gather for each array; padding slots zero out so the
+    # engines' markers (id 0 / scale 0.0) hold and no stale row leaks
+    gather = jnp.asarray(np.maximum(src_for_dst, 0), jnp.int32)
+    valid = jnp.asarray(src_for_dst >= 0)
+    zero_row = jnp.zeros((), store.chunk_data.dtype)
+    chunk_data = jnp.where(
+        valid[:, None], store.chunk_data[gather], zero_row
+    )
+    ids_new = jnp.where(
+        valid, store.chunk_ids.reshape(-1)[gather], 0
+    ).astype(jnp.int32)
+    chunk_scales = store.chunk_scales
+    if chunk_scales is not None:
+        chunk_scales = jnp.where(valid, chunk_scales[gather], 0.0)
+    n_ids = store.row_slot.shape[0]
+    row_slot = (
+        jnp.zeros(n_ids, jnp.int32)
+        .at[jnp.where(ids_new > 0, ids_new - 1, n_ids)]
+        .set(
+            jnp.arange(ids_new.shape[0], dtype=jnp.int32), mode="drop"
+        )
+    )
+
+    orig_hint_id = id(store.chunk_ids)
+    out = store._replace(
+        chunk_data=chunk_data,
+        chunk_ids=ids_new.reshape(n_chunks_new, chunk),
+        chunk_scales=chunk_scales,
+        row_slot=row_slot,
+        bucket_chunk_start=starts.astype(np.int32),
+        bucket_sizes=new_sizes.astype(np.int32),
+        bucket_chunk_ptr=starts.copy(),
+        bucket_chunk_list=np.arange(n_chunks_new, dtype=np.int32),
+        bucket_fill=new_sizes.astype(np.int32),
+    )
+    from learnedmetricindex_tpu.index.bucket_store import (
+        migrate_shape_hints,
+    )
+
+    migrate_shape_hints(orig_hint_id, id(out.chunk_ids))
+    return out
+
+
 def delete_ids(
     store: BucketStore, object_ids: np.ndarray
 ) -> Tuple[BucketStore, int]:
@@ -568,53 +665,8 @@ class DynamicIndex(Logger):
         )
 
     def compact(self) -> None:
-        """Repack the store: drop delete holes and overflow
-        fragmentation (one rebuild from the live rows)."""
-        was_int8 = self.store.chunk_data.dtype == jnp.int8
-        flat_ids = np.asarray(self.store.chunk_ids.reshape(-1))
-        live = np.nonzero(flat_ids > 0)[0]
-        vecs = np.asarray(
-            self.store.chunk_data[jnp.asarray(live)], np.float32
-        )
-        if self.store.chunk_scales is not None:
-            vecs = vecs * np.asarray(self.store.chunk_scales)[live][:, None]
-        ids = flat_ids[live]
-        pred = classify(self.index, vecs)
-        bucket_ids = self.index.bucket_ids_from_prediction(pred)
-        n_total = int(
-            np.prod(self.index.config.n_categories, dtype=np.int64)
-        )
-        if was_int8:
-            # re-quantize and pack the int values; padding slots keep
-            # scale 0.0 (the engines' padding marker), which a blanket
-            # quantize of the padded flat array would not produce
-            from learnedmetricindex_tpu.ops.quantize import (
-                quantize_rows_np,
-            )
-
-            q, scales = quantize_rows_np(vecs)
-            store = BucketStore.build(
-                q.astype(np.float32),
-                bucket_ids,
-                n_buckets=n_total,
-                chunk=self.store.chunk,
-                dtype=jnp.int8,
-                object_ids=ids,
-            )
-            scales_flat = np.zeros(
-                store.chunk_ids.size, dtype=np.float32
-            )
-            scales_flat[np.asarray(store.row_slot)[ids - 1]] = scales
-            store = store._replace(
-                chunk_scales=jnp.asarray(scales_flat)
-            )
-        else:
-            store = BucketStore.build(
-                vecs,
-                bucket_ids,
-                n_buckets=n_total,
-                chunk=self.store.chunk,
-                dtype=self.store.chunk_data.dtype,
-                object_ids=ids,
-            )
-        self.store = ensure_mutable(store)
+        """Repack the store on device: drop delete holes and overflow
+        fragmentation (see :func:`compact_store` — the host touches
+        only the id grid, rows keep their buckets and scan order, and
+        search output is bit-identical before/after)."""
+        self.store = compact_store(self.store)

@@ -28,7 +28,8 @@ Two pieces, both stdlib-only (no third-party server deps):
   thread pool of device calls would only contend).
 * :func:`make_http_server` / :func:`main` — a JSON-over-HTTP front end
   (``POST /search``, ``GET /healthz``, ``GET /stats``; plus
-  ``POST /insert`` / ``POST /delete`` when the server wraps a
+  ``POST /insert`` / ``POST /delete`` / ``POST /compact`` when the
+  server wraps a
   :class:`~learnedmetricindex_tpu.index.mutation.DynamicIndex`) on
   ``ThreadingHTTPServer``: each connection blocks on its request's
   future while the dispatcher batches across connections.
@@ -245,6 +246,20 @@ class SearchServer(Logger):
                 self._n_deletes += n
         return n
 
+    def compact(self) -> Dict:
+        """Repack the live store (drop delete holes / overflow chunks).
+        Device-side permutation — search results are bit-identical
+        before/after (see ``mutation.compact_store``), so this is safe
+        to run online; in-flight dispatches finish on the previous
+        snapshot.  Returns ``{"chunks_before": ..., "chunks_after": ...}``."""
+        self._require_dynamic()
+        with self._mutate_lock:
+            before = self.dynamic.store.n_chunks
+            self.dynamic.compact()
+            self.store = self.dynamic.store
+        return {"chunks_before": before,
+                "chunks_after": self.store.n_chunks}
+
     def stats(self) -> Dict:
         with self._lock:
             lat = sorted(self._latencies)
@@ -458,6 +473,8 @@ def make_http_server(server: SearchServer, host: str = "127.0.0.1",
                         np.asarray(payload["ids"], dtype=np.int64)
                     )
                     self._reply(200, {"deleted": n})
+                elif self.path == "/compact":
+                    self._reply(200, server.compact())
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
             except (KeyError, ValueError, TypeError) as e:
@@ -513,7 +530,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--max-batch", type=int, default=4096)
     p.add_argument("--max-wait-ms", type=float, default=2.0)
     p.add_argument("--dynamic", action="store_true",
-                   help="enable POST /insert and /delete (wraps the "
+                   help="enable POST /insert, /delete and /compact (wraps the "
                         "packed store in a DynamicIndex)")
     args = p.parse_args(argv)
 
@@ -574,7 +591,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     httpd = make_http_server(server, args.host, args.port)
     host, port = httpd.server_address[:2]
     endpoints = "POST /search, GET /healthz, GET /stats" + (
-        ", POST /insert, POST /delete" if args.dynamic else ""
+        ", POST /insert, POST /delete, POST /compact"
+        if args.dynamic else ""
     )
     print(f"lmi-serve listening on http://{host}:{port} ({endpoints})",
           flush=True)

@@ -207,6 +207,18 @@ def test_dynamic_server_insert_delete(served):
             )
             with urllib.request.urlopen(req, timeout=60) as r:
                 assert json.loads(r.read()) == {"deleted": 3}
+
+            # online compact: bit-identical results, holes dropped
+            _, before = server.search(queries[:16])
+            req = urllib.request.Request(
+                f"{base}/compact", data=b"{}",
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                rep = json.loads(r.read())
+            assert rep["chunks_after"] <= rep["chunks_before"]
+            _, after = server.search(queries[:16])
+            np.testing.assert_array_equal(before, after)
         finally:
             httpd.shutdown()
             httpd.server_close()
