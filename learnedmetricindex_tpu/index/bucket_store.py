@@ -71,12 +71,19 @@ def _sticky_quantize(key, name: str, size: int, multiple: int) -> int:
     """⅛-octave-quantize ``size``, but reuse the largest value already
     compiled for ``key`` when it still fits (see ``_SHAPE_HINTS``)."""
     if len(_SHAPE_HINTS) > _SHAPE_HINTS_MAX:
-        # evict the oldest half (dict preserves insertion order) — a
+        # evict the least-recently-USED half (every lookup below
+        # re-inserts its key at the end, so dict order is LRU→MRU) — a
         # wholesale clear would also drop hot entries and force every
         # active serving path to recompile at its next odd-sized batch
         for k in list(_SHAPE_HINTS)[: _SHAPE_HINTS_MAX // 2]:
             del _SHAPE_HINTS[k]
-    hints = _SHAPE_HINTS.setdefault(key, {})
+    # touch-on-use: move the key to the dict's end so a long-lived hot
+    # store (a serving deployment) can never age into the evicted half
+    # behind younger dead stores
+    hints = _SHAPE_HINTS.pop(key, None)
+    if hints is None:
+        hints = {}
+    _SHAPE_HINTS[key] = hints
     q = _quantize(size, multiple)
     prev = hints.get(name, 0)
     # prev % multiple: hint keys are id()-based, and a recycled id()

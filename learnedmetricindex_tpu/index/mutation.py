@@ -378,7 +378,33 @@ def insert_rows(
     return out
 
 
-def compact_store(store: BucketStore) -> BucketStore:
+def _compact_gather_impl(chunk_data, ids_flat, chunk_scales, gather, valid):
+    """Fused gather + padding-select for all three store arrays in ONE
+    jitted program: XLA fuses the gather into the select, so the
+    gathered temporary is never materialized and peak HBM during
+    compaction stays at old + new store bytes (the ``_grow_device``
+    budget) instead of old + temp + new."""
+    zero_row = jnp.zeros((), chunk_data.dtype)
+    data = jnp.where(valid[:, None], chunk_data[gather], zero_row)
+    ids = jnp.where(valid, ids_flat[gather], 0).astype(jnp.int32)
+    scales = (
+        None
+        if chunk_scales is None
+        else jnp.where(valid, chunk_scales[gather], 0.0)
+    )
+    return data, ids, scales
+
+
+_compact_gather = jax.jit(_compact_gather_impl)
+# donating the old arrays lets XLA release them as soon as the gather
+# reads them — for callers that drop the input store (DynamicIndex owns
+# its store and replaces it), not for the functional default
+_compact_gather_donated = jax.jit(
+    _compact_gather_impl, donate_argnums=(0, 1, 2)
+)
+
+
+def compact_store(store: BucketStore, *, donate: bool = False) -> BucketStore:
     """Repack a mutated store on device: drop delete holes and
     overflow-chunk fragmentation without moving the corpus through the
     host.
@@ -393,7 +419,16 @@ def compact_store(store: BucketStore) -> BucketStore:
     layout operation, not a re-route) and their relative within-bucket
     scan order, so tie-breaking — and therefore search output — is
     bit-identical before/after; int8 stores keep their exact quantized
-    values and scales (no dequantize/requantize drift)."""
+    values and scales (no dequantize/requantize drift).
+
+    ``donate=True`` additionally donates the old device arrays to the
+    gather, letting XLA alias them into the outputs when shapes match
+    (peak ~max(old, new)); when compaction shrinks the store the
+    donation is unusable and XLA falls back to old + new — the same
+    budget as the default.  A donated-and-aliased input store becomes
+    unusable, so only pass it when you own the store exclusively
+    (``DynamicIndex.compact`` offline; never while searches can run
+    concurrently)."""
     store = ensure_mutable(store)
     chunk = store.chunk
     flat_ids = np.asarray(store.chunk_ids.reshape(-1))
@@ -425,27 +460,34 @@ def compact_store(store: BucketStore) -> BucketStore:
     new_sizes = np.bincount(bs, minlength=store.n_buckets)
     nchunks = -(-new_sizes // chunk)
     starts = np.concatenate([[0], np.cumsum(nchunks)]).astype(np.int64)
-    n_chunks_new = max(int(starts[-1]), 1)  # engines need ≥ 1 chunk
+    # engines need ≥ 1 chunk, but a forced padding chunk must stay
+    # UNASSIGNED (free pool): starts[-1] stays 0, so the chunk list is
+    # empty and the next insert draws the chunk from the pool.  Giving
+    # it to the list would desync list length from ptr[-1] and crash
+    # the next compact.
+    n_chunks_new = max(int(starts[-1]), 1)
     cum = np.concatenate([[0], np.cumsum(new_sizes)]).astype(np.int64)
     within = np.arange(len(src), dtype=np.int64) - cum[bs]
     dst = starts[bs] * chunk + within
     src_for_dst = np.full(n_chunks_new * chunk, -1, np.int64)
     src_for_dst[dst] = src
 
-    # one device gather for each array; padding slots zero out so the
-    # engines' markers (id 0 / scale 0.0) hold and no stale row leaks
+    # one fused device gather for all arrays; padding slots zero out so
+    # the engines' markers (id 0 / scale 0.0) hold and no stale row
+    # leaks.  id() of the old ids array is read BEFORE a donating call
+    # deletes the buffers (the python objects survive, but take the id
+    # up front to keep the hint migration obviously ordered).
+    orig_hint_id = id(store.chunk_ids)
     gather = jnp.asarray(np.maximum(src_for_dst, 0), jnp.int32)
     valid = jnp.asarray(src_for_dst >= 0)
-    zero_row = jnp.zeros((), store.chunk_data.dtype)
-    chunk_data = jnp.where(
-        valid[:, None], store.chunk_data[gather], zero_row
+    fn = _compact_gather_donated if donate else _compact_gather
+    chunk_data, ids_new, chunk_scales = fn(
+        store.chunk_data,
+        store.chunk_ids.reshape(-1),
+        store.chunk_scales,
+        gather,
+        valid,
     )
-    ids_new = jnp.where(
-        valid, store.chunk_ids.reshape(-1)[gather], 0
-    ).astype(jnp.int32)
-    chunk_scales = store.chunk_scales
-    if chunk_scales is not None:
-        chunk_scales = jnp.where(valid, chunk_scales[gather], 0.0)
     n_ids = store.row_slot.shape[0]
     row_slot = (
         jnp.zeros(n_ids, jnp.int32)
@@ -455,7 +497,6 @@ def compact_store(store: BucketStore) -> BucketStore:
         )
     )
 
-    orig_hint_id = id(store.chunk_ids)
     out = store._replace(
         chunk_data=chunk_data,
         chunk_ids=ids_new.reshape(n_chunks_new, chunk),
@@ -464,7 +505,7 @@ def compact_store(store: BucketStore) -> BucketStore:
         bucket_chunk_start=starts.astype(np.int32),
         bucket_sizes=new_sizes.astype(np.int32),
         bucket_chunk_ptr=starts.copy(),
-        bucket_chunk_list=np.arange(n_chunks_new, dtype=np.int32),
+        bucket_chunk_list=np.arange(int(starts[-1]), dtype=np.int32),
         bucket_fill=new_sizes.astype(np.int32),
     )
     from learnedmetricindex_tpu.index.bucket_store import (
@@ -664,9 +705,15 @@ class DynamicIndex(Logger):
             **knobs,
         )
 
-    def compact(self) -> None:
+    def compact(self, donate: bool = False) -> None:
         """Repack the store on device: drop delete holes and overflow
         fragmentation (see :func:`compact_store` — the host touches
         only the id grid, rows keep their buckets and scan order, and
-        search output is bit-identical before/after)."""
-        self.store = compact_store(self.store)
+        search output is bit-identical before/after).
+
+        ``donate=True`` lets XLA alias the old arrays into the new
+        ones when shapes match (peak ~max(old,new) instead of old+new)
+        — only safe when no search can run concurrently (offline
+        maintenance; a serving deployment's searches don't hold the
+        mutate lock)."""
+        self.store = compact_store(self.store, donate=donate)

@@ -410,6 +410,34 @@ def test_sticky_hint_with_wrong_multiple_is_recomputed():
         bs._SHAPE_HINTS.pop(key, None)
 
 
+def test_shape_hints_evict_lru_not_hot():
+    """Eviction under pressure must drop least-recently-USED entries,
+    not oldest-inserted: a long-lived serving store that keeps getting
+    hit has the OLDEST insertion position, and insertion-order
+    half-eviction would re-jit it while younger dead stores survive
+    (advisor r3 / VERDICT weak #5).  The hot key must survive
+    _SHAPE_HINTS_MAX younger stores as long as it keeps being used."""
+    import learnedmetricindex_tpu.index.bucket_store as bs
+
+    saved = dict(bs._SHAPE_HINTS)
+    bs._SHAPE_HINTS.clear()
+    try:
+        hot = ("unit-test-hot", 8, 4)
+        assert bs._sticky_quantize(hot, "Wp", 96, 8) >= 96
+        for i in range(bs._SHAPE_HINTS_MAX + 64):
+            bs._sticky_quantize(("unit-test-dead", i, 4), "Wp", 32, 8)
+            # the serving store is hit between other stores' traffic
+            if i % 7 == 0:
+                bs._sticky_quantize(hot, "Wp", 64, 8)
+        assert hot in bs._SHAPE_HINTS
+        # and its sticky value survived (64-queries lookups reused the
+        # 96 hint rather than re-inserting a smaller fresh one)
+        assert bs._SHAPE_HINTS[hot]["Wp"] >= 96
+    finally:
+        bs._SHAPE_HINTS.clear()
+        bs._SHAPE_HINTS.update(saved)
+
+
 def test_xla_work_list_sticky_and_exact():
     """The XLA sort-merge engine's work-list padding (Wp) reuses the
     store's sticky hint too — its re-jit is the costliest of all — and

@@ -208,7 +208,18 @@ def test_dynamic_server_insert_delete(served):
             with urllib.request.urlopen(req, timeout=60) as r:
                 assert json.loads(r.read()) == {"deleted": 3}
 
-            # online compact: bit-identical results, holes dropped
+            # online compact: bit-identical results, holes dropped.
+            # delete half the corpus first so at least one chunk MUST
+            # be freed (every bucket bigger than one chunk halves), or
+            # a <=-assertion would hold trivially for a no-op compact
+            victims = list(range(2, len(data) + 1, 2))
+            req = urllib.request.Request(
+                f"{base}/delete",
+                data=json.dumps({"ids": victims}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                assert json.loads(r.read())["deleted"] == len(victims)
             _, before = server.search(queries[:16])
             req = urllib.request.Request(
                 f"{base}/compact", data=b"{}",
@@ -216,9 +227,10 @@ def test_dynamic_server_insert_delete(served):
             )
             with urllib.request.urlopen(req, timeout=60) as r:
                 rep = json.loads(r.read())
-            assert rep["chunks_after"] <= rep["chunks_before"]
+            assert rep["chunks_after"] < rep["chunks_before"]
             _, after = server.search(queries[:16])
             np.testing.assert_array_equal(before, after)
+            assert not np.isin(after, victims).any()
         finally:
             httpd.shutdown()
             httpd.server_close()
