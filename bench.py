@@ -313,6 +313,30 @@ def main():
     p.add_argument("--size", default="10M",
                    help="SISAP size tag for --dataset (e.g. 300K, 10M)")
     p.add_argument("--data-dir", default="data")
+    p.add_argument("--update-rule", default="minibatch",
+                   choices=["minibatch", "reference"],
+                   help="training dynamics A/B: true minibatch Adam "
+                        "(default) vs the reference's effective update "
+                        "(ONE step per epoch from the runt batch, "
+                        "search/li/model.py:191-211)")
+    p.add_argument("--class-weight", default="none",
+                   choices=["none", "balanced"],
+                   help="per-node class weighting of the training CE "
+                        "(reference CrossEntropyLoss(weight=) knob)")
+    p.add_argument("--two-level-epochs", default="",
+                   help="per-level epochs for the 2-level tree, comma "
+                        "list (e.g. '4,12'); default = --epochs")
+    p.add_argument("--two-level-lr", default="",
+                   help="per-level lr for the 2-level tree, comma list")
+    p.add_argument("--no-second-build", action="store_true",
+                   help="skip the second same-session build that "
+                        "separates compile/relay variance from code "
+                        "(recorded as build_s_steady)")
+    p.add_argument("--no-with-hard", action="store_true",
+                   help="skip the appended hard-regime pass (runs by "
+                        "default so the driver-recorded artifact "
+                        "carries the ranking-pressure recall, not just "
+                        "the 0.9999 ceiling regime)")
     args = p.parse_args()
 
     if args.hard:
@@ -324,14 +348,48 @@ def main():
     if args.strict:
         args.approx_recall = 0.0
 
-    import jax
-
     # persistent compilation cache: fresh-process XLA compiles otherwise
     # dominate wall-clock (the sort-merge alone compiles ~2 minutes)
     import learnedmetricindex_tpu as _lmi
 
     if not _lmi.enable_compilation_cache():  # pragma: no cover
         log("compilation cache unavailable")
+
+    result = run_bench(args)
+
+    # append a hard-regime pass IN-PROCESS (never a second TPU process:
+    # the axon tunnel wedges) so the single driver-recorded JSON line
+    # carries a recall number with real ranking pressure (VERDICT r3
+    # weak #6: the default regime's 0.9999 recall == the visited-bucket
+    # ceiling, zero discrimination)
+    if not (args.no_with_hard or args.hard or args.quick or args.dataset):
+        import copy
+
+        h = copy.copy(args)
+        h.hard = True
+        h.latent_clusters, h.noise, h.query_noise = 32, 0.9, 0.3
+        h.reps = 2
+        h.serving = h.serving_churn = 0
+        h.no_second_build = True
+        h.art_suffix = "/hard"
+        log("=== appended hard-regime pass (c=32, noise=0.9, qnoise=0.3) ===")
+        hard_res = run_bench(h)
+        result["hard"] = {
+            k: hard_res[k]
+            for k in (
+                "data", "value", "recall_at_10", "build_s",
+                "recall_vs_visit", "two_level",
+            )
+            if k in hard_res
+        }
+
+    print(json.dumps(result), flush=True)
+
+
+def run_bench(args):
+    """One full bench pass; returns the result dict and leaves the
+    device clean (stores freed) so passes can be chained in-process."""
+    import jax
 
     log(f"devices: {jax.devices()}")
     import jax.numpy as jnp
@@ -392,10 +450,11 @@ def main():
     log(f"  gt in {time.perf_counter() - t0:.1f}s (tile {gt_tile})")
 
     data = (values, scales)
+    cw = None if args.class_weight in ("", "none") else args.class_weight
     cfg = lmi.BuildConfiguration(
         "kmeans", args.epochs, args.model, args.lr, [args.buckets],
         seed=2023, batch_size=args.batch_size, chunk_size=args.chunk,
-        dtype="bfloat16",
+        dtype="bfloat16", class_weights=cw, update_rule=args.update_rule,
     )
     log(f"building index ({args.buckets} buckets, {args.model}, "
         f"{args.epochs} epochs, batch {args.batch_size}) ...")
@@ -404,13 +463,41 @@ def main():
     ).build()
     log(f"  build {build_t:.1f}s (cluster {cluster_t:.1f}s), {n_buckets} buckets")
 
+    build_steady = None
+    if not (args.no_second_build or args.quick):
+        # a second same-session build separates compile + relay
+        # variance from real build cost (VERDICT r3 weak #1: recorded
+        # cold builds swung 14.5 s <-> 52.8 s across rounds with no
+        # attributing artifact)
+        log("second build (steady: jit caches warm) ...")
+        _, _, _, build_t2, cluster_t2 = lmi.LearnedIndexBuilder(
+            data, cfg
+        ).build()
+        build_steady = {
+            "build_s": round(build_t2, 2),
+            "cluster_s": round(cluster_t2, 2),
+            "train_s": round(build_t2 - cluster_t2, 2),
+        }
+        log(f"  steady build {build_t2:.1f}s (cluster {cluster_t2:.1f}s)")
+
     two_cfg = two_index = two_pred = None
     if not args.skip_two_level:
         cats = [int(c) for c in args.two_level_categories.split(",")]
+        two_ep = (
+            [int(e) for e in args.two_level_epochs.split(",")]
+            if args.two_level_epochs
+            else [args.epochs]
+        )
+        two_lr = (
+            [float(x) for x in args.two_level_lr.split(",")]
+            if args.two_level_lr
+            else [args.lr]
+        )
         two_cfg = lmi.BuildConfiguration(
-            "kmeans", args.epochs, args.model, args.lr, cats,
+            ["kmeans"], two_ep, [args.model], two_lr, cats,
             seed=2023, batch_size=args.batch_size, chunk_size=args.chunk,
-            dtype="bfloat16",
+            dtype="bfloat16", class_weights=cw,
+            update_rule=args.update_rule,
         )
         log(f"building 2-level index ({cats} categories) ...")
         t0 = time.perf_counter()
@@ -575,6 +662,24 @@ def main():
             log(f"  curve visit={v}: recall={curve[str(v)]['recall']} "
                 f"search={curve[str(v)]['search_s']}s")
 
+    def oracle_curve(idx, prd, visits):
+        """Partition-quality ceiling at each visit count: recall if an
+        oracle visited the v buckets holding the most true neighbors —
+        the measured-vs-oracle gap is navigation loss, the
+        oracle-vs-1.0 gap is partition loss (eval.py)."""
+        from learnedmetricindex_tpu.eval import oracle_navigation_recall
+
+        b_ids = idx.bucket_ids_from_prediction(prd)
+        out = oracle_navigation_recall(b_ids[np.asarray(gt) - 1], visits)
+        return {str(v): round(r, 4) for v, r in out.items()}
+
+    oracle_nav = None
+    if curve:
+        oracle_nav = oracle_curve(
+            index, pred, [int(x) for x in curve]
+        )
+        log(f"  oracle-navigation ceiling: {oracle_nav}")
+
     two = None
     if two_index is not None:
         del store
@@ -584,13 +689,21 @@ def main():
         store2 = pack_store(two_index, two_pred)
         # quick probes must not overwrite the recorded flagship-scale
         # artifacts (res.csv / result.png / *.h5 are committed)
-        art_dir = "bench_artifacts/quick" if args.quick else "bench_artifacts"
+        art_dir = (
+            "bench_artifacts/quick"
+            if args.quick
+            else "bench_artifacts" + getattr(args, "art_suffix", "")
+        )
         os.makedirs(art_dir, exist_ok=True)
         from learnedmetricindex_tpu import eval as lmi_eval
 
         result_files = []
         two = {"build_s": round(two_build_t, 2), "buckets": two_nb,
                "visits": {}}
+        two["oracle_nav"] = oracle_curve(
+            two_index, two_pred, [1, 2, 4, 6, 10]
+        )
+        log(f"  2-level oracle-navigation ceiling: {two['oracle_nav']}")
         for v in (1, 2, 4, 6, 10):
             v = min(v, two_nb)
             try:
@@ -609,6 +722,7 @@ def main():
                 "search_s": round(sv * (10_000 / args.queries), 3),
             }
             log(f"  2-level visit={v}: recall={rv:.4f} search={sv:.3f}s")
+
             dst = f"{art_dir}/two_level_v{v}.h5"
             # store only rows with ground truth: evaluate_to_csv below
             # compares against gt (gt_q rows)
@@ -649,6 +763,13 @@ def main():
         "gt_queries": gt_q,
         "build_s": round(build_t, 2),
         "build_vs_baseline": round(20828.0 / build_t, 2),
+        "build_phases_cold": {
+            "cluster_s": round(cluster_t, 2),
+            "train_s": round(build_t - cluster_t, 2),
+        },
+        "build_steady": build_steady,
+        "update_rule": args.update_rule,
+        "class_weight": args.class_weight,
         "queries": args.queries,
         "qps": round(args.queries / search_s, 1),
         "dtype": "int8",
@@ -657,11 +778,21 @@ def main():
         # at runtime, so a pre-search gate prediction can be wrong)
         "engine": _bucket_store_mod.LAST_ENGINE,
         "recall_vs_visit": curve,
+        "oracle_nav": oracle_nav,
         "two_level": two,
     }
     if serving is not None:
         result["serving"] = serving
-    print(json.dumps(result), flush=True)
+
+    # leave the chip clean for a chained pass
+    if two_index is not None:
+        two_index._store_cache = None
+        del store2
+    else:
+        del store
+    index._store_cache = None
+    gc.collect()
+    return result
 
 
 if __name__ == "__main__":

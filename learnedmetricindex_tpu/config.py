@@ -17,13 +17,17 @@ TPU-specific additions (no reference counterpart):
 * ``chunk_size`` — bucket-store chunk length (see
   :mod:`learnedmetricindex_tpu.index.bucket_store`).
 * ``dtype`` — on-device storage dtype for bucket slabs.
+* ``update_rule`` — ``"minibatch"`` (default: true minibatch Adam) or
+  ``"reference"`` (the reference's effective update: ONE Adam step per
+  epoch from the epoch's runt batch, ``search/li/model.py:191-211``) —
+  for A/B-bounding the training-dynamics recall delta.
 """
 
 from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Any, List, Sequence, Union
+from typing import Any, List, Optional, Sequence, Union
 
 SUPPORTED_CLUSTERINGS = ("kmeans", "faiss_kmeans", "scikit_kmeans")
 # "faiss_kmeans"/"scikit_kmeans" are accepted for CLI compatibility with the
@@ -40,6 +44,10 @@ class ModelParameters:
     epochs: int
     lr: float
     n_categories: int
+    # None = unweighted CE; "balanced" = sklearn-style inverse-frequency
+    # per-class weights computed per node at build time (the TPU wiring
+    # of the reference's CrossEntropyLoss(weight=) knob, model.py:145-161)
+    class_weight: Optional[str] = None
 
     def __iter__(self):
         return iter(dataclasses.astuple(self))
@@ -66,11 +74,16 @@ class BuildConfiguration:
         lrs: Union[Sequence[float], float],
         n_categories: Sequence[int],
         *,
+        class_weights: Union[Sequence[Optional[str]], Optional[str]] = None,
         seed: int = 2023,
         batch_size: int = 256,
         chunk_size: int = 1024,
         dtype: str = "float32",
+        update_rule: str = "minibatch",
     ):
+        assert update_rule in ("minibatch", "reference"), (
+            f"Unknown update_rule: {update_rule!r}"
+        )
         n_categories = list(n_categories)
         self._validate(clustering_algorithms, epochs, model_types, lrs, n_categories)
 
@@ -79,12 +92,18 @@ class BuildConfiguration:
         self.epochs: List[int] = _expand(epochs, n_levels)
         self.model_types: List[str] = _expand(model_types, n_levels)
         self.lrs: List[float] = _expand(lrs, n_levels)
+        self.class_weights: List[Optional[str]] = _expand(class_weights, n_levels)
+        for w in self.class_weights:
+            assert w in (None, "balanced"), (
+                f"Unknown class_weight mode: {w!r} (None or 'balanced')"
+            )
         self.n_categories: List[int] = n_categories
 
         self.seed = int(seed)
         self.batch_size = int(batch_size)
         self.chunk_size = int(chunk_size)
         self.dtype = dtype
+        self.update_rule = update_rule
 
         self.level_configurations: List[ModelParameters] = [
             ModelParameters(
@@ -93,6 +112,7 @@ class BuildConfiguration:
                 epochs=self.epochs[i],
                 lr=self.lrs[i],
                 n_categories=self.n_categories[i],
+                class_weight=self.class_weights[i],
             )
             for i in range(n_levels)
         ]
@@ -155,10 +175,12 @@ class BuildConfiguration:
             "model_types": self.model_types,
             "lrs": self.lrs,
             "n_categories": self.n_categories,
+            "class_weights": self.class_weights,
             "seed": self.seed,
             "batch_size": self.batch_size,
             "chunk_size": self.chunk_size,
             "dtype": self.dtype,
+            "update_rule": self.update_rule,
         }
 
     @classmethod
@@ -169,10 +191,12 @@ class BuildConfiguration:
             d["model_types"],
             d["lrs"],
             d["n_categories"],
+            class_weights=d.get("class_weights"),
             seed=d.get("seed", 2023),
             batch_size=d.get("batch_size", 256),
             chunk_size=d.get("chunk_size", 1024),
             dtype=d.get("dtype", "float32"),
+            update_rule=d.get("update_rule", "minibatch"),
         )
 
     def __repr__(self) -> str:  # pragma: no cover

@@ -131,3 +131,39 @@ def plot_results(rows, out_path: str = "result.png"):
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def oracle_navigation_recall(bucket_of_gt: np.ndarray, visits) -> dict:
+    """Partition-quality ceiling: recall@k when navigation is an ORACLE
+    that always visits, for each query, the ``v`` buckets containing the
+    most of that query's true top-k neighbors.
+
+    ``bucket_of_gt``: (n_queries, k) — the bucket id of each ground-truth
+    neighbor (``bucket_ids[gt - 1]``).  Returns ``{v: recall}`` for each
+    ``v`` in ``visits``.
+
+    The gap between this ceiling and the measured search recall at the
+    same visit count is pure NAVIGATION loss (the router ranking buckets
+    wrong); the gap between this ceiling and 1.0 is pure PARTITION loss
+    (the learned partition scattering a query's neighbors over more than
+    ``v`` buckets).  Diagnostic for multi-level recall plateaus — no
+    reference counterpart (the reference never separates the two,
+    ``search/li/LearnedIndex.py:41-161``)."""
+    bucket_of_gt = np.asarray(bucket_of_gt)
+    n_q, k = bucket_of_gt.shape
+    visits = sorted(set(int(v) for v in visits))
+    # per-query descending bucket-occupancy counts, padded to k groups
+    bs = np.sort(bucket_of_gt, axis=1)
+    new_group = np.concatenate(
+        [np.ones((n_q, 1), bool), bs[:, 1:] != bs[:, :-1]], axis=1
+    )
+    # rank of each element within its group == position - group start
+    group_id = np.cumsum(new_group, axis=1) - 1  # (n_q, k), 0-based
+    counts = np.zeros((n_q, k), np.int64)
+    np.add.at(counts, (np.arange(n_q)[:, None], group_id), 1)
+    counts.sort(axis=1)
+    counts = counts[:, ::-1]  # descending group sizes per query
+    cum = np.cumsum(counts, axis=1)
+    return {
+        v: float(cum[:, min(v, k) - 1].mean() / k) for v in visits
+    }

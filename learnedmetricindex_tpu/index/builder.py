@@ -322,8 +322,24 @@ class LearnedIndexBuilder(Logger):
                 batch_size=cfg.batch_size,
                 seed=cfg.seed + level,
                 mesh=self.mesh,
+                update_rule=getattr(cfg, "update_rule", "minibatch"),
             )
             trainer.set_class_mask(class_mask)
+            if params.class_weight == "balanced":
+                # sklearn-style inverse-frequency weights per NODE:
+                # w[m,c] = n_m / (C_m · count[m,c]) — rare k-means
+                # clusters (which the unweighted router tends to starve
+                # into other buckets) get proportionally louder CE.
+                # The TPU wiring of the reference's CrossEntropyLoss
+                # weight knob (``search/li/model.py:145-161``).
+                cnt = np.zeros((n_models, C), np.int64)
+                np.add.at(cnt, (parent_gid, labels_full), 1)
+                n_m = cnt.sum(axis=1, keepdims=True)
+                c_m = class_mask.sum(axis=1, keepdims=True)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    w = n_m / (np.maximum(c_m, 1) * cnt)
+                w = np.where(class_mask & (cnt > 0), w, 0.0)
+                trainer.set_class_weight(w.astype(np.float32))
             preds_slots, rounds = trainer.fit(grouped, params.epochs)
 
             # scatter per-slot predictions back to original row order

@@ -22,6 +22,12 @@ per SURVEY.md §3.5:
   this keeps every shape static.  (The reference shuffles via
   ``SubsetRandomSampler``, ``builder:170-174``.)
 
+Both divergences are A/B-testable: ``update_rule="reference"``
+(trainer/config) re-enables the reference's exact effective update —
+one Adam step per epoch from the epoch's runt batch (see
+``_run_epochs``) — so the training-dynamics recall delta can be
+measured on identical data (``bench.py --hard --update-rule``).
+
 The many-model trainer is the TPU-native replacement for the
 reference's sequential per-path loop (``builder:240-278``): all sibling
 node models of a level train concurrently as one stacked pytree; models
@@ -149,9 +155,28 @@ def _tree_where_model(active: jnp.ndarray, new, old, n_models: int):
     return jax.tree.map(sel, new, old)
 
 
+def _weighted_mean_ce(ce, yb, class_weight):
+    """Per-model reduction of per-sample cross-entropies.
+
+    ``class_weight=None`` reproduces the unweighted mean over the batch
+    (invalid pad rows contribute 0).  With a ``(n_models, n_classes)``
+    weight array the reduction follows torch's
+    ``CrossEntropyLoss(weight=w)`` exactly — Σᵢ w[yᵢ]·ceᵢ / Σᵢ w[yᵢ] —
+    the semantics the reference wires its ``class_weight`` parameter
+    into (``search/li/model.py:145-161``)."""
+    if class_weight is None:
+        ce = jnp.where(yb >= 0, ce, 0.0)  # guard: empty-segment pad rows
+        return jnp.mean(ce, axis=1)  # (M,)
+    w = jnp.take_along_axis(class_weight, jnp.maximum(yb, 0), axis=1)
+    w = jnp.where(yb >= 0, w, 0.0)
+    return jnp.sum(w * ce, axis=1) / jnp.maximum(
+        jnp.sum(w, axis=1), 1e-12
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("n_models", "batch_size", "steps", "lr"),
+    static_argnames=("n_models", "batch_size", "steps", "lr", "ref_dynamics"),
 )
 def _run_epochs(
     params,
@@ -165,14 +190,36 @@ def _run_epochs(
     seg_lens,
     class_mask,
     active,
+    class_weight=None,
     *,
     n_models: int,
     batch_size: int,
     steps: int,
     lr: float,
+    ref_dynamics: bool = False,
 ):
-    """Run ``steps`` minibatch Adam updates on every active model."""
+    """Run ``steps`` Adam updates on every active model.
+
+    ``ref_dynamics=False`` (default): one update per uniform
+    with-replacement minibatch — true minibatch SGD.
+
+    ``ref_dynamics=True`` replicates the reference's effective update
+    rule (``search/li/model.py:191-211``): per epoch the torch loop
+    forwards every batch but calls ``zero_grad``/``backward``/``step``
+    once, OUTSIDE the loop — so the gradient comes solely from the LAST
+    batch of the epoch's random permutation, whose length is the runt
+    ``((n-1) % 256) + 1`` (torch ``DataLoader`` with ``drop_last=False``;
+    the discarded earlier forwards carry no state, so they need not be
+    executed).  Here ``steps`` therefore means EPOCHS: each scan step
+    takes one Adam update from a uniform batch of exactly that runt
+    length (segments that fit in one batch use all their rows — the
+    exact reference gradient; larger segments approximate the
+    permutation tail's without-replacement draw by with-replacement,
+    indistinguishable at reference scales)."""
     opt = optax.adam(lr)
+    if ref_dynamics:
+        # per-model effective batch length of the reference update
+        runt = ((jnp.maximum(seg_lens, 1) - 1) % batch_size) + 1
 
     def loss_fn(p, xb, yb):
         logits = jax.vmap(mlp_apply)(p, xb)  # (M, B, C)
@@ -180,8 +227,12 @@ def _run_epochs(
         ce = optax.softmax_cross_entropy_with_integer_labels(
             logits, jnp.maximum(yb, 0)
         )
-        ce = jnp.where(yb >= 0, ce, 0.0)  # guard: empty-segment pad rows
-        per_model = jnp.mean(ce, axis=1)  # (M,)
+        w = class_weight
+        if ref_dynamics and w is None:
+            # the reference batch is the masked prefix: torch's mean
+            # reduces over the runt length, not the padded batch
+            w = jnp.ones((n_models, logits.shape[-1]), jnp.float32)
+        per_model = _weighted_mean_ce(ce, yb, w)  # (M,)
         return jnp.sum(per_model * active), per_model
 
     def step(carry, skey):
@@ -189,11 +240,25 @@ def _run_epochs(
         idx = seg_starts[:, None] + jax.random.randint(
             skey, (n_models, batch_size), 0, jnp.maximum(seg_lens, 1)[:, None]
         )
+        if ref_dynamics:
+            # segments within one batch: take ALL rows (the reference's
+            # single batch == the whole segment, a deterministic
+            # full-segment gradient); larger segments: random rows,
+            # truncated to the runt length
+            seq = seg_starts[:, None] + (
+                jnp.arange(batch_size)[None, :]
+                % jnp.maximum(seg_lens, 1)[:, None]
+            )
+            idx = jnp.where((seg_lens <= batch_size)[:, None], seq, idx)
         rows = slot_rows[idx]  # (M, B) original rows, -1 only if seg empty
         xb = x[jnp.maximum(rows, 0)].astype(jnp.float32)  # (M, B, d)
         if x_scales is not None:
             xb = xb * x_scales[jnp.maximum(rows, 0)][:, :, None]
         yb = jnp.where(rows >= 0, labels[idx], -1)  # (M, B)
+        if ref_dynamics:
+            yb = jnp.where(
+                jnp.arange(batch_size)[None, :] < runt[:, None], yb, -1
+            )
         (_, per_model), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             p, xb, yb
         )
@@ -274,11 +339,18 @@ class StackedNodeTrainer(Logger):
         batch_size: int = 256,
         seed: int = 2023,
         mesh=None,
+        update_rule: str = "minibatch",
     ):
+        if update_rule not in ("minibatch", "reference"):
+            raise ValueError(
+                f"update_rule must be 'minibatch' or 'reference', got "
+                f"{update_rule!r}"
+            )
         self.n_models = n_models
         self.n_classes = n_classes
         self.batch_size = batch_size
         self.lr = lr
+        self.update_rule = update_rule
         self.mesh = mesh
         self.key = jax.random.PRNGKey(seed)
         self.key, init_key = jax.random.split(self.key)
@@ -287,6 +359,7 @@ class StackedNodeTrainer(Logger):
         )
         self.opt_state = optax.adam(lr).init(self.params)
         self.class_mask = jnp.ones((n_models, n_classes), bool)
+        self.class_weight = None
         if mesh is not None:
             self.params = self._place_model_tree(self.params)
             self.opt_state = self._place_model_tree(self.opt_state)
@@ -401,6 +474,19 @@ class StackedNodeTrainer(Logger):
         if self.mesh is not None:
             self.class_mask = self._place_model_tree(self.class_mask)
 
+    def set_class_weight(self, weight) -> None:
+        """(n_models, n_classes) f32 per-class loss weights, torch
+        ``CrossEntropyLoss(weight=)`` semantics (reference
+        ``model.py:145-161``); ``None`` restores the unweighted mean.
+        Masked-out classes' weights are irrelevant (their labels never
+        occur)."""
+        if weight is None:
+            self.class_weight = None
+            return
+        self.class_weight = jnp.asarray(weight, jnp.float32)
+        if self.mesh is not None:
+            self.class_weight = self._place_model_tree(self.class_weight)
+
     def fit(
         self,
         grouped: GroupedData,
@@ -417,8 +503,12 @@ class StackedNodeTrainer(Logger):
 
         seg_lens_np = np.asarray(grouped.seg_lens)
         max_len = max(int(seg_lens_np.max()), 1)
-        steps_per_epoch = max(1, -(-max_len // self.batch_size))
-        steps = steps_per_epoch * epochs
+        ref_dynamics = self.update_rule == "reference"
+        if ref_dynamics:
+            steps = epochs  # ONE update per epoch (model.py:191-211)
+        else:
+            steps_per_epoch = max(1, -(-max_len // self.batch_size))
+            steps = steps_per_epoch * epochs
 
         multi = self.mesh is not None and mp.is_multiprocess(self.mesh)
         if self.mesh is not None:
@@ -455,10 +545,12 @@ class StackedNodeTrainer(Logger):
                     grouped.seg_lens,
                     self.class_mask,
                     act,
+                    self.class_weight,
                     n_models=self.n_models,
                     batch_size=self.batch_size,
                     steps=s,
                     lr=self.lr,
+                    ref_dynamics=ref_dynamics,
                 )
                 remaining -= s
             preds = _predict_own_tiles(
@@ -530,7 +622,9 @@ class StackedNodeTrainer(Logger):
 
 
 @functools.partial(jax.jit, static_argnames=("epochs", "lr"))
-def _full_batch_epochs(params, opt_state, x, y, class_mask, *, epochs, lr):
+def _full_batch_epochs(
+    params, opt_state, x, y, class_mask, class_weight=None, *, epochs, lr
+):
     """One Adam step per epoch on the ENTIRE dataset (reference
     ``train`` semantics, ``model.py:166-189``; 1-model stacked pytree)."""
     opt = optax.adam(lr)
@@ -539,7 +633,7 @@ def _full_batch_epochs(params, opt_state, x, y, class_mask, *, epochs, lr):
         logits = jax.vmap(mlp_apply)(p, x[None])[0]  # (n, C)
         logits = jnp.where(class_mask[0][None, :], logits, NEG_INF)
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
-        return jnp.mean(ce)
+        return _weighted_mean_ce(ce[None], y[None], class_weight)[0]
 
     def step(carry, _):
         p, s = carry
@@ -569,14 +663,19 @@ class NeuralNetwork(Logger):
         seed: int = 2023,
         batch_size: int = 256,
     ):
-        if class_weight is not None:
-            raise NotImplementedError(
-                "class_weight is accepted by the reference but unused by "
-                "any call site (model.py:160-163); not implemented."
-            )
         self._trainer = StackedNodeTrainer(
             1, input_dim, output_dim, model_type, lr, batch_size, seed
         )
+        if class_weight is not None:
+            class_weight = np.asarray(class_weight, np.float32)
+            if class_weight.shape != (output_dim,):
+                raise ValueError(
+                    f"class_weight must have shape ({output_dim},), got "
+                    f"{class_weight.shape}"
+                )
+            # torch CrossEntropyLoss(weight=) semantics, wired into both
+            # train paths like the reference (model.py:145-161)
+            self._trainer.set_class_weight(class_weight[None, :])
         self.output_dim = output_dim
 
     @property
@@ -612,6 +711,7 @@ class NeuralNetwork(Logger):
             grouped.seg_lens,
             self._trainer.class_mask,
             jnp.ones((1,), jnp.float32),
+            self._trainer.class_weight,
             n_models=1,
             batch_size=self._trainer.batch_size,
             steps=steps,
@@ -633,6 +733,7 @@ class NeuralNetwork(Logger):
             x,
             yv,
             self._trainer.class_mask,
+            self._trainer.class_weight,
             epochs=epochs,
             lr=self._trainer.lr,
         )

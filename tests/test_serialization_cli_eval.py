@@ -131,3 +131,31 @@ def test_cli_per_level_validation():
                                           "--epochs", "10", "20"]))
     with pytest.raises(AssertionError):
         expand_per_level(bad)
+
+
+def test_oracle_navigation_recall():
+    """The partition-ceiling diagnostic: recall when an oracle visits
+    the v buckets holding the most true neighbors."""
+    from learnedmetricindex_tpu.eval import oracle_navigation_recall
+
+    # query 0: neighbors in buckets [5,5,5,2,2,9] -> counts (3,2,1)
+    # query 1: all in one bucket -> ceiling 1.0 from v=1
+    b = np.array([[5, 5, 5, 2, 2, 9], [7, 7, 7, 7, 7, 7]])
+    out = oracle_navigation_recall(b, [1, 2, 3, 10])
+    np.testing.assert_allclose(out[1], (3 / 6 + 1.0) / 2)
+    np.testing.assert_allclose(out[2], (5 / 6 + 1.0) / 2)
+    np.testing.assert_allclose(out[3], 1.0)
+    np.testing.assert_allclose(out[10], 1.0)  # v > k groups: clamped
+
+    # random case against a brute-force per-query reference
+    rng = np.random.default_rng(0)
+    b = rng.integers(0, 7, size=(40, 10))
+    out = oracle_navigation_recall(b, [2])
+    ref = np.mean(
+        [
+            np.sort(np.unique(row, return_counts=True)[1])[::-1][:2].sum()
+            / 10
+            for row in b
+        ]
+    )
+    np.testing.assert_allclose(out[2], ref)
