@@ -31,6 +31,7 @@ vectors (``LearnedIndex.py:368``); queries with no valid candidate get
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -383,6 +384,9 @@ class ScanPlan(NamedTuple):
     qtile: int
     pair_slot: Optional[np.ndarray] = None  # (Q*V,) slot of each
     # (query, visit) pair in row-major bucket_order, -1 = unused visit
+    item_meta: Optional[np.ndarray] = None  # (W,) packed Pallas-kernel
+    # metadata: pair<<6 | tile_in_group<<2 | is_first_chunk<<1 |
+    # is_last_chunk (see ops.scan_kernel bit-layout constants)
 
 
 def build_scan_plan(
@@ -425,26 +429,69 @@ def build_scan_plan(
     pair_slot = np.full(Q * V, -1, dtype=np.int32)
     pair_slot[np.nonzero(keep)[0][order]] = slot.astype(np.int32)
 
-    # --- work items: for bucket b, for qtile t, for chunk c ----------
+    # --- work items: for bucket b, for tile-GROUP g, for chunk c, for
+    # tile t within the group (slab-residency order) ------------------
+    # Grouping amortizes slab DMA: within a group, one chunk's slab
+    # serves up to TILE_GROUP query tiles before the next chunk streams
+    # in (consecutive items share the slab block index, so the Pallas
+    # pipeline skips the re-fetch).  The ungrouped (b, t, c) order
+    # re-reads every slab once per tile — ~T× the HBM traffic of the
+    # store itself at T tiles/bucket.  Measured wall-time NEUTRAL at
+    # the flagship shape (kernel is VPU-bound, DMA overlapped — see
+    # ops/scan_kernel.py); kept for DMA headroom at visit-heavy /
+    # wide-dtype shapes.  (Successor of reference hot loop #6,
+    # ``LearnedIndex.py:360-368``.)
+    # The XLA engine consumes the same items and is order-independent.
+    from learnedmetricindex_tpu.ops.scan_kernel import (
+        META_FIRST,
+        META_LAST,
+        META_PAIR_SHIFT,
+        META_TILE_SHIFT,
+        TILE_GROUP,
+    )
+
+    # A/B knob: LMI_TILE_GROUP=1 reproduces the ungrouped (bucket,
+    # tile, chunk) order (one slab stream per tile); values >16 would
+    # overflow the 4 meta bits (the kernel's scratch is sized for
+    # TILE_GROUP, so larger-than-default values also need a kernel
+    # rebuild — clamp instead)
+    G = min(max(int(os.environ.get("LMI_TILE_GROUP", TILE_GROUP)), 1),
+            TILE_GROUP)
     ntiles = padded_counts // qtile  # per bucket
     nchunks = nchunks_all
     items_per_bucket = ntiles * nchunks
     W = int(items_per_bucket.sum())
-    item_q_start = np.empty(W, dtype=np.int32)
-    item_chunk = np.empty(W, dtype=np.int32)
     item_base = np.concatenate([[0], np.cumsum(items_per_bucket)[:-1]])
 
     active = np.nonzero(items_per_bucket)[0]
-    # vectorized fill: item index within bucket = t * nchunks[b] + c
     rep_b = np.repeat(active, items_per_bucket[active])
     within = np.arange(W, dtype=np.int64) - item_base[rep_b]
-    t_of_item = within // nchunks[rep_b]
-    c_of_item = within % nchunks[rep_b]
-    item_q_start[:] = (pad_starts[rep_b] + t_of_item * qtile).astype(np.int32)
+    Tb = ntiles[rep_b]
+    Cb = nchunks[rep_b]
+    # item index within bucket = C·G·g + c·gsize + t_in_group, where
+    # gsize = min(G, T - g·G) (the last group may be partial)
+    g = within // (Cb * G)
+    gsize = np.minimum(G, Tb - g * G)
+    rem = within - Cb * G * g
+    c_of_item = rem // gsize
+    t_in_group = rem % gsize
+    t_of_item = g * G + t_in_group
+    item_q_start = (pad_starts[rep_b] + t_of_item * qtile).astype(np.int32)
     if chunk_list is not None:
-        item_chunk[:] = chunk_list[ptr[rep_b] + c_of_item].astype(np.int32)
+        item_chunk = chunk_list[ptr[rep_b] + c_of_item].astype(np.int32)
     else:
-        item_chunk[:] = (ptr[rep_b] + c_of_item).astype(np.int32)
+        item_chunk = (ptr[rep_b] + c_of_item).astype(np.int32)
+
+    pair = pad_starts[rep_b] // qtile + t_of_item
+    assert QP // qtile < (1 << (31 - META_PAIR_SHIFT)), (
+        "pair index overflows the packed item metadata"
+    )
+    item_meta = (
+        (pair << META_PAIR_SHIFT)
+        | (t_in_group << META_TILE_SHIFT)
+        | np.where(c_of_item == 0, META_FIRST, 0)
+        | np.where(c_of_item == Cb - 1, META_LAST, 0)
+    ).astype(np.int32)
 
     return ScanPlan(
         qidx=qidx,
@@ -453,6 +500,7 @@ def build_scan_plan(
         n_queries=Q,
         qtile=qtile,
         pair_slot=pair_slot,
+        item_meta=item_meta,
     )
 
 
@@ -723,14 +771,14 @@ def _merge_candidates(
     return out_d, out_i
 
 
-def _pack_plan_blob(qidx, item_pair, item_chunk, w_real, pair_rows, pair_ok):
+def _pack_plan_blob(qidx, item_meta, item_chunk, w_real, pair_rows, pair_ok):
     """All per-call host plan arrays as ONE int32 buffer.  Six separate
     host→device uploads each pay a relay round-trip; one ~400 KB blob
     pays one, and the jitted scan slices it back out for free (static
     offsets — the program already specializes on these shapes)."""
     return np.concatenate([
         np.asarray(qidx, np.int32),
-        np.asarray(item_pair, np.int32),
+        np.asarray(item_meta, np.int32),
         np.asarray(item_chunk, np.int32),
         np.asarray(w_real, np.int32).reshape(-1),
         np.asarray(pair_rows, np.int32),
@@ -774,7 +822,7 @@ def _scan_fused_pallas(
     QP = n_pairs * qtile
     QV = queries_all.shape[0] * n_visits
     qidx = plan_blob[:QP]
-    item_pair = plan_blob[QP : QP + W]
+    item_meta = plan_blob[QP : QP + W]
     item_chunk = plan_blob[QP + W : QP + 2 * W]
     w_real = plan_blob[QP + 2 * W : QP + 2 * W + 1]
     pair_rows = plan_blob[QP + 2 * W + 1 : QP + 2 * W + 1 + QV]
@@ -792,7 +840,7 @@ def _scan_fused_pallas(
     cand_d, cand_slot = pallas_scan_pairs(
         work_queries,
         qidx.reshape(n_pairs, qtile),
-        item_pair,
+        item_meta,
         item_chunk,
         w_real,
         chunk_data,
@@ -1081,23 +1129,26 @@ def scan_buckets(
         )
     ran_pallas = False
     if use_pallas and _pallas_engine_usable(store, qtile):
-        from learnedmetricindex_tpu.ops.scan_kernel import pallas_host_args
+        from learnedmetricindex_tpu.ops.scan_kernel import (
+            pad_item_meta,
+            pallas_host_args,
+        )
 
         try:
             n_pairs = QP // qtile
-            item_pair, item_chunk_p, w_real, scales_flat, pair_written = (
+            item_meta, item_chunk_p, w_real, scales_flat, pair_written = (
                 pallas_host_args(store, plan, qtile, n_pairs)
             )
             # Sticky-pad the item axis like QP above: the raw W is
             # data-dependent (navigation outcome), so without padding
             # EVERY new query batch recompiles the fused program.
-            # Padding items point at the dummy pair / chunk 0 and are
+            # Padding items carry the dummy-pair metadata word and are
             # skipped by the kernel's ``i < w_real`` gate.
-            Wq = _sticky_quantize(hint_key, "W", len(item_pair), 8)
-            if Wq != len(item_pair):
-                pad = Wq - len(item_pair)
-                item_pair = np.concatenate(
-                    [item_pair, np.full(pad, n_pairs, np.int32)]
+            Wq = _sticky_quantize(hint_key, "W", len(item_meta), 8)
+            if Wq != len(item_meta):
+                pad = Wq - len(item_meta)
+                item_meta = np.concatenate(
+                    [item_meta, np.full(pad, pad_item_meta(n_pairs), np.int32)]
                 )
                 item_chunk_p = np.concatenate(
                     [item_chunk_p, np.zeros(pad, np.int32)]
@@ -1112,7 +1163,7 @@ def scan_buckets(
             # kernel + merge + rerank + id resolve in ONE dispatch over
             # ONE uploaded plan blob (six small uploads → one)
             blob = _pack_plan_blob(
-                qidx, item_pair, item_chunk_p, w_real, pair_rows, pair_ok
+                qidx, item_meta, item_chunk_p, w_real, pair_rows, pair_ok
             )
             dists, ids = _scan_fused_pallas(
                 jnp.asarray(blob),
@@ -1120,7 +1171,7 @@ def scan_buckets(
                 scales_flat,
                 store.chunk_ids.reshape(-1),
                 q_dev_all,
-                W=len(item_pair),
+                W=len(item_meta),
                 k_scan=k_scan,
                 k=k,
                 qtile=qtile,

@@ -12,15 +12,34 @@ fusions and HBM intermediates happens in one VMEM-resident kernel
     (bucket, query-tile) pair** → one (qtile, k) candidate list per
     pair
 
-Two structural wins over the XLA phase-1 (``bucket_store._scan_items``):
+Three structural wins over the XLA phase-1 (``bucket_store._scan_items``):
 
 * the (qtile × chunk) distance block never exists in HBM — it lives in
   VMEM/registers between the MXU and the top-k;
-* work items of one (bucket, query-tile) pair are consecutive in the
-  plan, so the kernel carries the pair's running top-k in a VMEM
-  scratch accumulator and emits ONE candidate list per pair instead of
-  one per chunk — the phase-2 sort-merge input shrinks by the
-  chunks-per-bucket factor (~40× at 10M/120 buckets).
+* the kernel carries each pair's running top-k in a VMEM scratch
+  accumulator and emits ONE candidate list per pair instead of one per
+  chunk — the phase-2 sort-merge input shrinks by the chunks-per-bucket
+  factor (~40× at 10M/120 buckets);
+* **slab-residency grouping**: the plan orders items (bucket,
+  tile-group, chunk, tile-in-group) with up to ``TILE_GROUP`` query
+  tiles per group, so one slab DMA serves the whole group (consecutive
+  items keep the same slab block index — the Mosaic pipeline skips the
+  re-fetch) and the group's query tiles are cached in VMEM scratch.
+  The ungrouped (bucket, tile, chunk) order re-reads every bucket's
+  slabs once per tile (~2.6× the store's HBM bytes at the 10M
+  flagship).  Measured A/B at 8M×768/int8 (bench_probe): results
+  bit-identical, wall time NEUTRAL — the kernel is VPU-bound on the
+  selection sweeps (~6.7 µs/item at qtile 128; nominal slab traffic
+  runs at only ~27% of HBM speed because DMA fully overlaps compute),
+  so the saved bytes buy headroom, not time, at flagship shapes.
+  Grouping is kept because it makes slab traffic independent of the
+  tiles-per-bucket ratio — the regime where visit-heavy sweeps or
+  bf16/f32 stores WOULD become DMA-bound — at zero measured cost.
+  Each pair's output row is written once, at its last-chunk item; all
+  other items map their output block to the dummy row.  (Wider tiles
+  do NOT help: qtile 256 doubles per-item sweep cost — selection is
+  lane-parallel only across the native 128 lanes — measured 14.1
+  µs/item, a net 1.4× slowdown at half the item count.)
 
 Selection is a **cursor k-pass**: extraction j+1 takes the minimum
 over elements strictly after extraction j's ``(value, row)`` pair in
@@ -60,28 +79,57 @@ from jax.experimental.pallas import tpu as pltpu
 # 2^24 — see module docstring)
 MAX_PALLAS_ID = (1 << 31) - 1
 
+# Slab-residency grouping: the plan orders work items
+# (bucket, tile-group, chunk, tile-in-group), so one chunk's slab DMA
+# serves up to TILE_GROUP query tiles before the next chunk streams in.
+# The kernel keeps TILE_GROUP per-tile top-k accumulators plus the
+# group's query tiles in VMEM scratch.  The ungrouped (bucket, tile,
+# chunk) order re-reads every slab once per tile — ~T× the HBM traffic
+# of the store itself at T tiles/bucket.  Measured at the flagship
+# shape this is wall-time NEUTRAL (the kernel is VPU-bound on
+# selection sweeps, DMA fully overlapped — see module docstring);
+# grouping is kept for the DMA headroom it buys at visit-heavy or
+# wide-dtype shapes.
+TILE_GROUP = 8
+
+# Packed per-item metadata (ONE int32 per item — SMEM scalar prefetch
+# is capped near two W-sized arrays, see _kernel's comment):
+#   meta = pair << 6 | tile_in_group << 2 | is_first_chunk << 1
+#        | is_last_chunk
+META_PAIR_SHIFT = 6
+META_TILE_SHIFT = 2
+META_TILE_MASK = 0xF  # TILE_GROUP ≤ 16
+META_FIRST = 2
+META_LAST = 1
+
 
 def _kernel(
     # scalar prefetch (kept to TWO W-sized arrays + one scalar: these
     # live in SMEM, and five W-sized arrays crash the compiler near
-    # W ≈ 60k — the query-tile index equals the pair index, `first`
-    # derives from the neighboring pair entry, validity from w_real)
-    item_pair_ref,  # (W,) int32: output pair row (== query-tile index)
+    # W ≈ 60k — pair/tile-slot/first/last are bit-packed into one
+    # int32 per item, validity comes from w_real)
+    item_meta_ref,  # (W,) int32: pair<<6 | t_in_group<<2 | first<<1 | last
     item_chunk_ref,  # (W,) int32: chunk index per item
     w_real_ref,  # (1,) int32: items beyond this are padding
     # blocks
-    qv_ref,  # (qtile, d) f32 — or int8 when compute_dtype is int8
+    qv_ref,  # (qtile, d) f32 — or int8 when compute_dtype is int8;
+    #          maps to the item's OWN tile on first-chunk items (which
+    #          cache it) and to the group's first tile otherwise (so
+    #          consecutive non-first items never re-fetch)
     qidx_ref,  # (n_tiles, qtile) int32 — FULL array in VMEM
     qscale_ref,  # (n_tiles, qtile) f32 — per-query dequant scales
     #              (ones unless compute_dtype is int8); FULL in VMEM
     slab_ref,  # (chunk, d) store dtype
     scales_ref,  # (chunk,) f32 (0.0 marks padding slots)
-    # outputs (revisited across the pair's chunks; flushed on change)
+    # outputs (written once per pair, at its last-chunk item; non-last
+    # items map to the dummy row, which absorbs the stale flushes)
     out_d_ref,  # (1, qtile, kpad) f32
     out_i_ref,  # (1, qtile, kpad) int32
-    # scratch (acc_* persist across the pair's chunks; rest per item)
-    acc_d_ref,  # (kpad, qtile) f32 — running top-k distances (unsorted)
-    acc_i_ref,  # (kpad, qtile) i32 — running top-k slot ids (-1 = none)
+    # scratch (acc_*/qcache persist across the group's chunks; rest
+    # per item)
+    acc_d_ref,  # (group·kpad, qtile) f32 — per-tile running top-k
+    acc_i_ref,  # (group·kpad, qtile) i32 — per-tile slot ids (-1 = none)
+    qcache_ref,  # (group·qtile, d) — the group's query tiles
     d_ref,  # (chunk, qtile) f32 — this item's distances (read-only
     #         after materialization: extractions never mask it)
     mprev_ref,  # (8, qtile) f32 — extraction cursor: last value
@@ -93,33 +141,44 @@ def _kernel(
     gate: str,
 ):
     i = pl.program_id(0)
-    prev_pair = item_pair_ref[jnp.maximum(i - 1, 0)]
-    is_first = jnp.logical_or(i == 0, item_pair_ref[i] != prev_pair)
+    meta = item_meta_ref[i]
+    pair = meta >> META_PAIR_SHIFT
+    t_slot = (meta >> META_TILE_SHIFT) & META_TILE_MASK
+    is_first = (meta & META_FIRST) != 0
+    is_last = (meta & META_LAST) != 0
     is_valid = i < w_real_ref[0]
+    qtile = qv_ref.shape[0]
+    acc_rows = pl.ds(t_slot * kpad, kpad)
+    cache_rows = pl.ds(t_slot * qtile, qtile)
 
     @pl.when(is_first)
     def _():
-        acc_d_ref[:] = jnp.full(acc_d_ref.shape, jnp.inf, jnp.float32)
-        acc_i_ref[:] = jnp.full(acc_i_ref.shape, -1, jnp.int32)
+        # first chunk of the group for this tile: cache the query tile
+        # (qv_ref maps to the item's own tile exactly when first) and
+        # reset the tile's accumulator slot
+        qcache_ref[cache_rows, :] = qv_ref[:]
+        acc_d_ref[acc_rows, :] = jnp.full((kpad, qtile), jnp.inf, jnp.float32)
+        acc_i_ref[acc_rows, :] = jnp.full((kpad, qtile), -1, jnp.int32)
 
     # TRANSPOSED layout throughout: chunk rows on sublanes, queries on
     # lanes.  Lane-dimension min/argmin over a 2k-wide matrix makes
     # Mosaic's register allocator spill ~130 MB; the same reductions
     # over the sublane dimension are native (measured: 0.7 s vs OOM).
-    tile = jnp.minimum(item_pair_ref[i], qidx_ref.shape[0] - 1)
+    tile = jnp.minimum(pair, qidx_ref.shape[0] - 1)
     qi = qidx_ref[tile, :]  # (qtile,)
+    qv_cached = qcache_ref[cache_rows, :]  # (qtile, d)
     if compute_dtype == jnp.int8:
         # int8×int8→int32 on the MXU: 2× the bf16 throughput and no
         # dequant cast of the slab.  Scales factor exactly:
         # <q, x> = (q_int · x_int) · q_scale · x_scale.
         sims = jax.lax.dot_general(
             slab_ref[:],
-            qv_ref[:],
+            qv_cached,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)  # (chunk, qtile)
     else:
-        qv = qv_ref[:].astype(compute_dtype)  # (qtile, d)
+        qv = qv_cached.astype(compute_dtype)  # (qtile, d)
         cd = slab_ref[:].astype(compute_dtype)  # (chunk, d)
         sims = jax.lax.dot_general(
             cd,
@@ -136,7 +195,6 @@ def _kernel(
             ),
         )  # (chunk, qtile)
     chunk = sims.shape[0]
-    qtile = sims.shape[1]
     # scales arrive as a 1-D block — 1-D HBM arrays keep the compact
     # T(1024) layout (a (n_slots, 1) column array would be tile-padded
     # 128×: 4.9 GB at 10M slots)
@@ -161,16 +219,20 @@ def _kernel(
 
     def insert(m, am):
         """Insert each lane's winner (value m, chunk row am) into the
-        accumulator if it beats the lane's current k-th best; returns
-        the per-lane win mask.  Ties keep the incumbent (reference
-        stable-merge semantics: the earlier candidate wins)."""
-        acck = jnp.where(put_row < k, acc_d_ref[:], -jnp.inf)
+        tile's accumulator slot if it beats the lane's current k-th
+        best; returns the per-lane win mask.  Ties keep the incumbent
+        (reference stable-merge semantics: the earlier candidate
+        wins)."""
+        accd = acc_d_ref[acc_rows, :]
+        acck = jnp.where(put_row < k, accd, -jnp.inf)
         tau = jnp.max(acck, axis=0)  # (qtile,) current k-th best
         win = m < tau
         amax = jnp.argmax(acck, axis=0).astype(jnp.int32)
         put = jnp.logical_and(put_row == amax[None, :], win[None, :])
-        acc_d_ref[:] = jnp.where(put, m[None, :], acc_d_ref[:])
-        acc_i_ref[:] = jnp.where(put, (slot0 + am)[None, :], acc_i_ref[:])
+        acc_d_ref[acc_rows, :] = jnp.where(put, m[None, :], accd)
+        acc_i_ref[acc_rows, :] = jnp.where(
+            put, (slot0 + am)[None, :], acc_i_ref[acc_rows, :]
+        )
         return win
 
     def extract_next(_):
@@ -217,7 +279,7 @@ def _kernel(
         # insert" gate, which never fired because SOME lane of 128
         # nearly always inserts; here the trip count itself shrinks.)
         d_ref[:] = dists
-        acck = jnp.where(put_row < k, acc_d_ref[:], -jnp.inf)
+        acck = jnp.where(put_row < k, acc_d_ref[acc_rows, :], -jnp.inf)
         tau = jnp.max(acck, axis=0)  # (qtile,) current k-th best
         cnt = jnp.sum((dists < tau[None, :]).astype(jnp.int32), axis=0)
         trips = jnp.minimum(jnp.max(cnt), k)
@@ -229,8 +291,13 @@ def _kernel(
             jnp.int32(0),
         )
 
-    out_d_ref[0] = acc_d_ref[:].T
-    out_i_ref[0] = acc_i_ref[:].T
+    @pl.when(is_last)
+    def _():
+        # the pair's chunks are exhausted: flush its accumulator slot.
+        # Non-last items leave the output untouched — their block maps
+        # to the dummy row, which absorbs the stale buffer flushes.
+        out_d_ref[0] = acc_d_ref[acc_rows, :].T
+        out_i_ref[0] = acc_i_ref[acc_rows, :].T
 
 
 @functools.partial(
@@ -241,7 +308,8 @@ def _kernel(
 def pallas_scan_pairs(
     work_queries: jnp.ndarray,  # (QP, d) f32 — int8 for compute="int8"
     qidx2d: jnp.ndarray,  # (QP // qtile, qtile) int32
-    item_pair: jnp.ndarray,  # (W,) int32: output row (n_pairs = dummy)
+    item_meta: jnp.ndarray,  # (W,) int32 packed: pair<<6 | t<<2 |
+    #                first<<1 | last (padding items: n_pairs<<6)
     item_chunk: jnp.ndarray,  # (W,) int32
     w_real: jnp.ndarray,  # (1,) int32: first padding item index
     chunk_data: jnp.ndarray,  # (n_slots, d) flat packed store
@@ -259,6 +327,11 @@ def pallas_scan_pairs(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused phase 1: one (qtile, k) candidate list per (bucket, tile)
     pair, already merged across the bucket's chunks.
+
+    Work items must arrive in the plan's (bucket, tile-group, chunk,
+    tile-in-group) order (``build_scan_plan``): one slab residency
+    serves the whole group, and each pair's output row is written at
+    its last-chunk item.
 
     ``compute``: "bf16" (one MXU pass), "f32" (HIGHEST, multi-pass) or
     "int8" — int8×int8→int32 MXU (2× bf16 throughput; requires an int8
@@ -280,30 +353,49 @@ def pallas_scan_pairs(
         query_scales2d = jnp.ones(qidx2d.shape, jnp.float32)
 
     n_tiles = qidx2d.shape[0]
+
+    def qv_index(i, im, ic, wr):
+        # first-chunk items fetch their OWN tile (and cache it); later
+        # items map to the group's first tile, so consecutive items of
+        # the group's remaining chunks never change the block index —
+        # the pipeline fetches each group's queries once, not per chunk
+        m = im[i]
+        pair = m >> META_PAIR_SHIFT
+        t = (m >> META_TILE_SHIFT) & META_TILE_MASK
+        own = (m & META_FIRST) != 0
+        return (
+            jnp.minimum(jnp.where(own, pair, pair - t), n_tiles - 1),
+            0,
+        )
+
+    def out_index(i, im, ic, wr):
+        # pairs flush at their last-chunk item; every other item maps
+        # to the dummy row, which absorbs the stale buffer flushes
+        m = im[i]
+        return (
+            jnp.where((m & META_LAST) != 0, m >> META_PAIR_SHIFT, n_pairs),
+            0,
+            0,
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(W,),
         in_specs=[
-            pl.BlockSpec(
-                (qtile, d),
-                lambda i, ip, ic, wr: (jnp.minimum(ip[i], n_tiles - 1), 0),
-            ),
+            pl.BlockSpec((qtile, d), qv_index),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full qidx2d
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full query scales
-            pl.BlockSpec((chunk, d), lambda i, ip, ic, wr: (ic[i], 0)),
-            pl.BlockSpec((chunk,), lambda i, ip, ic, wr: (ic[i],)),
+            pl.BlockSpec((chunk, d), lambda i, im, ic, wr: (ic[i], 0)),
+            pl.BlockSpec((chunk,), lambda i, im, ic, wr: (ic[i],)),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (1, qtile, kpad), lambda i, ip, ic, wr: (ip[i], 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, qtile, kpad), lambda i, ip, ic, wr: (ip[i], 0, 0)
-            ),
+            pl.BlockSpec((1, qtile, kpad), out_index),
+            pl.BlockSpec((1, qtile, kpad), out_index),
         ],
         scratch_shapes=[
-            pltpu.VMEM((kpad, qtile), jnp.float32),
-            pltpu.VMEM((kpad, qtile), jnp.int32),
+            pltpu.VMEM((TILE_GROUP * kpad, qtile), jnp.float32),
+            pltpu.VMEM((TILE_GROUP * kpad, qtile), jnp.int32),
+            pltpu.VMEM((TILE_GROUP * qtile, d), work_queries.dtype),
             pltpu.VMEM((chunk, qtile), jnp.float32),
             pltpu.VMEM((8, qtile), jnp.float32),
             pltpu.VMEM((8, qtile), jnp.int32),
@@ -328,19 +420,27 @@ def pallas_scan_pairs(
         out_shape=out_shapes,
         interpret=interpret,
         **kwargs,
-    )(item_pair, item_chunk, w_real,
+    )(item_meta, item_chunk, w_real,
       work_queries, qidx2d, query_scales2d, chunk_data, chunk_scales_flat)
     return cand_d[:, :, :k], cand_i[:, :, :k]
+
+
+def pad_item_meta(n_pairs: int) -> int:
+    """Metadata word for a padding work item: the dummy pair, no
+    first/last flags — it neither resets an accumulator slot nor
+    flushes a real output row."""
+    return n_pairs << META_PAIR_SHIFT
 
 
 def pallas_host_args(store, plan, qtile: int, n_pairs: int):
     """Host-side prep shared by the kernel's call paths: per-item
     prefetch arrays from a
     :class:`~learnedmetricindex_tpu.index.bucket_store.ScanPlan` (whose
-    work list is (bucket, tile)-major, so each pair's chunks are
-    consecutive), the flat scales array, and the written-pair mask.
+    work list is (bucket, tile-group, chunk, tile-in-group)-ordered —
+    the slab-residency order the kernel requires), the flat scales
+    array, and the written-pair mask.
 
-    Returns ``(item_pair, item_chunk, w_real, scales_flat,
+    Returns ``(item_meta, item_chunk, w_real, scales_flat,
     pair_written)``; ``pair_written`` masks output rows of pairs whose
     bucket has zero chunks (never written — uninitialized memory) and
     the dummy pair row ``n_pairs`` that absorbs padding items.
@@ -348,15 +448,15 @@ def pallas_host_args(store, plan, qtile: int, n_pairs: int):
     import numpy as np
 
     W = len(plan.item_chunk)
-    item_pair = (plan.item_q_start // qtile).astype(np.int32)
+    item_meta = plan.item_meta.astype(np.int32)
     item_chunk = plan.item_chunk.astype(np.int32)
     if W == 0:
-        item_pair = np.array([n_pairs], np.int32)
+        item_meta = np.array([pad_item_meta(n_pairs)], np.int32)
         item_chunk = np.zeros(1, np.int32)
 
     pair_written = np.zeros(n_pairs + 1, bool)
     if W:
-        pair_written[item_pair] = True
+        pair_written[item_meta >> META_PAIR_SHIFT] = True
     pair_written[n_pairs] = False
 
     if store.chunk_scales is not None:
@@ -365,7 +465,7 @@ def pallas_host_args(store, plan, qtile: int, n_pairs: int):
         # unscaled store: 1.0 on valid slots, 0.0 marks padding
         scales_flat = (store.chunk_ids.reshape(-1) > 0).astype(jnp.float32)
     return (
-        item_pair,
+        item_meta,
         item_chunk,
         np.array([W], np.int32),
         scales_flat,

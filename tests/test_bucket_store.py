@@ -179,6 +179,80 @@ def test_plan_items_cover_all_pairs():
     assert not seen
 
 
+def test_plan_grouped_order_and_meta():
+    """The work list's (bucket, tile-group, chunk, tile-in-group) order
+    and the packed ``item_meta``: one slab residency serves a whole
+    tile group (the kernel's HBM-amortization contract), each pair's
+    chunks appear in ascending scan order, and first/last flags mark
+    exactly the pair's first and last chunk."""
+    from learnedmetricindex_tpu.ops.scan_kernel import (
+        META_FIRST,
+        META_LAST,
+        META_PAIR_SHIFT,
+        META_TILE_MASK,
+        META_TILE_SHIFT,
+        TILE_GROUP,
+    )
+
+    # bucket 0 gets visited by every query → many tiles (> TILE_GROUP
+    # at qtile=8), exercising multiple groups incl. a partial one
+    data, queries, bucket_ids, store = _make_store(n=900, n_buckets=5)
+    Q = 100
+    rng = np.random.default_rng(3)
+    order = np.stack(
+        [np.zeros(Q, np.int64), rng.integers(1, 5, size=Q)], axis=1
+    )
+    qtile = 8
+    plan = build_scan_plan(store, order, qtile=qtile)
+
+    pair = plan.item_meta >> META_PAIR_SHIFT
+    t_in_g = (plan.item_meta >> META_TILE_SHIFT) & META_TILE_MASK
+    first = (plan.item_meta & META_FIRST) != 0
+    last = (plan.item_meta & META_LAST) != 0
+
+    # pair id must agree with the tile's slot offset
+    np.testing.assert_array_equal(pair, plan.item_q_start // qtile)
+    assert (t_in_g < TILE_GROUP).all()
+
+    nchunks = store.bucket_chunk_start[1:] - store.bucket_chunk_start[:-1]
+    starts = store.bucket_chunk_start
+    # recover each item's bucket from its chunk id (fresh build: chunks
+    # are a contiguous CSR range per bucket)
+    bucket_of_item = np.searchsorted(starts, plan.item_chunk, "right") - 1
+
+    for p in np.unique(pair):
+        sel = pair == p
+        b = bucket_of_item[sel][0]
+        assert (bucket_of_item[sel] == b).all()
+        # the pair sees the bucket's chunks exactly once, in scan order
+        np.testing.assert_array_equal(
+            plan.item_chunk[sel], np.arange(starts[b], starts[b + 1])
+        )
+        # first/last mark exactly the first and last chunk
+        np.testing.assert_array_equal(
+            first[sel], plan.item_chunk[sel] == starts[b]
+        )
+        np.testing.assert_array_equal(
+            last[sel], plan.item_chunk[sel] == starts[b + 1] - 1
+        )
+        # tile-in-group slot is constant for a pair
+        assert len(np.unique(t_in_g[sel])) == 1
+
+    # THE amortization property: the number of slab switches equals one
+    # chunk-streaming pass per (bucket, tile-group) — not one per tile
+    switches = 1 + int(np.sum(plan.item_chunk[1:] != plan.item_chunk[:-1]))
+    ntiles = np.array([
+        len(np.unique(pair[bucket_of_item == b]))
+        for b in range(store.n_buckets)
+    ])
+    expected = int(
+        sum(-(-t // TILE_GROUP) * c for t, c in zip(ntiles, nchunks) if t)
+    )
+    assert switches == expected, (switches, expected)
+    # sanity: grouping actually amortizes here (bucket 0 has 13 tiles)
+    assert expected < int((ntiles * nchunks).sum())
+
+
 def test_pair_slot_map_and_dense_merge():
     """The plan's (query, visit) → slot map is exact, and the dense
     per-pair merge (``_merge_pairs_dense``, the Pallas engine's phase 2)
