@@ -145,6 +145,13 @@ class ShardedStore(NamedTuple):
             + self.chunk_scales.nbytes
         )
 
+    @property
+    def n_chunks(self) -> int:
+        """Per-device chunk-axis length (the stacked layout pads every
+        device to a common width) — the serving layer's capacity stat,
+        name-compatible with the packed ``BucketStore``."""
+        return int(self.chunk_ids.shape[1])
+
 
 def shard_store(
     data,
@@ -281,6 +288,136 @@ def shard_store(
         chunk_data=chunk_data,
         chunk_ids=mp.put_global(ids_grid, mesh, P(axis, None, None)),
         chunk_scales=mp.put_global(scales_grid, mesh, P(axis, None)),
+        sub_stores=sub_stores,
+        bucket_device=bucket_device,
+        bucket_local=bucket_local,
+        mesh=mesh,
+        chunk=chunk,
+    )
+
+
+def shard_packed_store(store: BucketStore, mesh: Mesh) -> ShardedStore:
+    """Promote a packed single-chip store to a mesh-sharded store
+    WITHOUT a host corpus round-trip.
+
+    Both layouts are chunk-granular, so the whole transform is one
+    chunk-level device gather per target device: bucket b's chunk
+    sequence (CSR range, or the chunk list of a mutated store — holes
+    and overflow chunks travel verbatim) lands contiguously in its
+    owner's slab region.  Per-bucket scan order is preserved, so
+    searches return bit-identical neighbors.  Use case: a corpus built
+    and packed on one chip that must become mutable/servable across
+    the mesh (``ShardedDynamicIndex(index, shard_packed_store(...))``).
+    """
+    if store.chunk_data is None:
+        raise ValueError(
+            "shard_packed_store needs a packed store (virtual stores "
+            "reference a row-major corpus — use shard_store on it)"
+        )
+    n_dev = mesh.devices.size
+    counts = np.asarray(store.bucket_sizes, np.int64)
+    n_buckets = store.n_buckets
+    chunk = store.chunk
+    if store.bucket_chunk_list is not None:
+        ptr = store.bucket_chunk_ptr.astype(np.int64)
+        chunk_of = store.bucket_chunk_list.astype(np.int64)
+    else:
+        ptr = store.bucket_chunk_start.astype(np.int64)
+        chunk_of = np.arange(int(ptr[-1]), dtype=np.int64)
+    nchunks = ptr[1:] - ptr[:-1]
+
+    # balanced bucket → device assignment (same policy as shard_store)
+    order = np.argsort(-counts, kind="stable")
+    load = np.zeros(n_dev, dtype=np.int64)
+    bucket_device = np.zeros(n_buckets, dtype=np.int32)
+    for b in order:
+        dev = int(np.argmin(load))
+        bucket_device[b] = dev
+        load[dev] += counts[b]
+
+    bucket_local = np.zeros(n_buckets, dtype=np.int32)
+    mine_list, starts_local, src_chunks = [], [], []
+    for dev in range(n_dev):
+        mine = np.nonzero(bucket_device == dev)[0]
+        bucket_local[mine] = np.arange(len(mine))
+        mine_list.append(mine)
+        st = np.concatenate([[0], np.cumsum(nchunks[mine])]).astype(np.int32)
+        starts_local.append(st)
+        src_chunks.append(
+            np.concatenate(
+                [chunk_of[ptr[b] : ptr[b + 1]] for b in mine]
+                or [np.empty(0, np.int64)]
+            )
+        )
+    c_max = max(max(len(s) for s in src_chunks), 1)
+
+    d = store.chunk_data.shape[-1]
+    src_data = store.chunk_data.reshape(-1, chunk, d)
+    src_ids = store.chunk_ids
+    src_scales = (
+        store.chunk_scales.reshape(-1, chunk)
+        if store.chunk_scales is not None
+        else None
+    )
+    src_dev = list(src_data.devices())[0]
+
+    @jax.jit
+    def gather_chunks(sel, valid, cd, ci, cs):
+        g = jnp.maximum(sel, 0)
+        m = valid[:, None, None]
+        return (
+            jnp.where(m, cd[g], 0).astype(cd.dtype),
+            jnp.where(m[..., 0], ci[g], 0),
+            jnp.where(m[..., 0], cs[g], 0.0),
+        )
+
+    if src_scales is None:
+        src_scales = jnp.ones((src_data.shape[0], chunk), jnp.float32)
+    axis = mesh.axis_names
+    devices = list(mesh.devices.flat)
+    data_shards, id_shards, scale_shards = [], [], []
+    for i, dev in enumerate(devices):
+        sel = np.full(c_max, -1, np.int64)
+        sel[: len(src_chunks[i])] = src_chunks[i]
+        sel_dev = jax.device_put(sel, src_dev)
+        cd_i, ci_i, cs_i = gather_chunks(
+            sel_dev, jax.device_put(sel >= 0, src_dev),
+            src_data, src_ids, src_scales,
+        )
+        data_shards.append(jax.device_put(cd_i.reshape(1, -1, d), dev))
+        id_shards.append(jax.device_put(ci_i[None], dev))
+        scale_shards.append(jax.device_put(cs_i.reshape(1, -1), dev))
+
+    shard3 = NamedSharding(mesh, P(axis, None, None))
+    shard2 = NamedSharding(mesh, P(axis, None))
+    mk = jax.make_array_from_single_device_arrays
+    # a mutated source's per-bucket fill (high-water mark) must travel:
+    # re-deriving it as `sizes` would let later inserts overwrite live
+    # rows sitting past delete holes
+    fill_src = (
+        store.bucket_fill
+        if store.bucket_fill is not None
+        else store.bucket_sizes
+    )
+    sub_stores = [
+        BucketStore(
+            chunk_ids=None,
+            bucket_chunk_start=starts_local[dev],
+            bucket_sizes=counts[mine_list[dev]].astype(np.int32),
+            chunk=chunk,
+            n_buckets=len(mine_list[dev]),
+            bucket_chunk_ptr=starts_local[dev].astype(np.int64),
+            bucket_chunk_list=np.arange(
+                int(starts_local[dev][-1]), dtype=np.int32
+            ),
+            bucket_fill=np.asarray(fill_src, np.int32)[mine_list[dev]],
+        )
+        for dev in range(n_dev)
+    ]
+    return ShardedStore(
+        chunk_data=mk((n_dev, c_max * chunk, d), shard3, data_shards),
+        chunk_ids=mk((n_dev, c_max, chunk), shard3, id_shards),
+        chunk_scales=mk((n_dev, c_max * chunk), shard2, scale_shards),
         sub_stores=sub_stores,
         bucket_device=bucket_device,
         bucket_local=bucket_local,
@@ -581,13 +718,15 @@ def sharded_search(
     )
     assert QP_max % qtile == 0
     n_pairs = QP_max // qtile
+    from learnedmetricindex_tpu.ops.scan_kernel import pad_item_meta
+
     item_q_start = np.zeros((n_dev, W_max), np.int32)
     item_chunk = np.zeros((n_dev, W_max), np.int32)
     item_valid = np.zeros((n_dev, W_max), bool)
-    # Pallas-engine item metadata: padding items point at the dummy
-    # pair row n_pairs (they must not re-open a real pair's output
-    # block, which would reset its accumulator)
-    item_pair = np.full((n_dev, W_max), n_pairs, np.int32)
+    # Pallas-engine item metadata: padding items carry the dummy-pair
+    # word (no first/last flags — they must not reset an accumulator
+    # slot or flush a real pair's output row)
+    item_meta = np.full((n_dev, W_max), pad_item_meta(n_pairs), np.int32)
     w_real = np.zeros((n_dev, 1), np.int32)
     pair_written = np.zeros((n_dev, n_pairs + 1), bool)
     qidx = np.full((n_dev, QP_max), -1, np.int32)
@@ -601,10 +740,10 @@ def sharded_search(
         item_q_start[dev, :w] = p.item_q_start
         item_chunk[dev, :w] = p.item_chunk
         item_valid[dev, :w] = True
-        item_pair[dev, :w] = (p.item_q_start // qtile).astype(np.int32)
+        item_meta[dev, :w] = p.item_meta
         w_real[dev, 0] = w
         if w:
-            pair_written[dev, item_pair[dev, :w]] = True
+            pair_written[dev, (p.item_q_start // qtile)] = True
         pair_written[dev, n_pairs] = False
         qidx[dev, : len(p.qidx)] = p.qidx
         ok = p.pair_slot >= 0
@@ -667,7 +806,7 @@ def sharded_search(
         mp.put_global(item_q_start, mesh, dev2),
         mp.put_global(item_chunk, mesh, dev2),
         mp.put_global(item_valid, mesh, dev2),
-        mp.put_global(item_pair, mesh, dev2),
+        mp.put_global(item_meta, mesh, dev2),
         mp.put_global(w_real, mesh, dev2),
         mp.put_global(pair_rows, mesh, dev2),
         mp.put_global(pair_ok, mesh, dev2),

@@ -109,13 +109,18 @@ class SearchServer(Logger):
         warmup: bool = True,
     ):
         from learnedmetricindex_tpu.index.mutation import DynamicIndex
+        from learnedmetricindex_tpu.parallel.sharded_mutation import (
+            ShardedDynamicIndex,
+        )
 
         # a DynamicIndex makes the server MUTABLE: insert/delete swap
         # the store snapshot between dispatches (each dispatch reads one
         # consistent functional store; a request submitted after a
-        # mutation returns is guaranteed to search the mutated store)
-        if isinstance(index, DynamicIndex):
-            self.dynamic: Optional[DynamicIndex] = index
+        # mutation returns is guaranteed to search the mutated store).
+        # A ShardedDynamicIndex serves the same surface over a
+        # mesh-sharded store (corpora past the single-chip ceiling).
+        if isinstance(index, (DynamicIndex, ShardedDynamicIndex)):
+            self.dynamic = index
             if store is not None:
                 raise ValueError(
                     "pass either a DynamicIndex or (index, store)"
@@ -532,6 +537,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--dynamic", action="store_true",
                    help="enable POST /insert, /delete and /compact (wraps the "
                         "packed store in a DynamicIndex)")
+    p.add_argument("--shard-devices", type=int, default=0,
+                   help="shard the store over the first N mesh devices "
+                        "(corpora past one chip's HBM; composes with "
+                        "--dynamic via ShardedDynamicIndex)")
     args = p.parse_args(argv)
 
     import learnedmetricindex_tpu as lmi
@@ -579,6 +588,24 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     )
     if dyn is not None:
         server = SearchServer(dyn, **knobs)
+    elif args.shard_devices:
+        from learnedmetricindex_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(args.shard_devices)
+        if args.dynamic:
+            from learnedmetricindex_tpu.parallel.sharded_mutation import (
+                ShardedDynamicIndex,
+            )
+
+            server = SearchServer(
+                ShardedDynamicIndex.from_built(
+                    index, data, data_prediction, mesh=mesh
+                ),
+                **knobs,
+            )
+        else:
+            store = index.get_sharded_store(data, data_prediction, mesh)
+            server = SearchServer(index, store, **knobs)
     elif args.dynamic:
         from learnedmetricindex_tpu.index.mutation import DynamicIndex
 

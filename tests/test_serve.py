@@ -282,3 +282,65 @@ def test_server_over_sharded_store():
         assert recall(i, gt, 10) == 1.0
     finally:
         server.close()
+
+
+def test_dynamic_server_over_sharded_store():
+    """Mutable multi-chip serving: SearchServer(ShardedDynamicIndex)
+    serves insert/delete/compact over the 8-virtual-device mesh — the
+    single-chip HBM ceiling is no longer the mutability ceiling."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from learnedmetricindex_tpu.parallel.mesh import create_mesh
+    from learnedmetricindex_tpu.parallel.sharded_mutation import (
+        ShardedDynamicIndex,
+    )
+
+    data, queries = synthetic_blobs(3000, 24, 32, n_clusters=12, seed=13)
+    mesh = create_mesh(8)
+    cfg = lmi.BuildConfiguration("kmeans", 30, "MLP-2", 0.01, [8], seed=13,
+                                 chunk_size=64)
+    index, pred, *_ = lmi.LearnedIndexBuilder(data, cfg).build()
+    dyn = ShardedDynamicIndex.from_built(index, data, pred, mesh=mesh,
+                                         chunk=64)
+    server = SearchServer(dyn, k=10, n_buckets=8, max_batch=64,
+                          max_wait_ms=0.0, warmup=False)
+    try:
+        extra, _ = synthetic_blobs(50, 24, 1, n_clusters=12, seed=99)
+        ids = server.insert(extra)
+        assert len(ids) == 50
+        d, i = server.search(extra[:8], k=1)
+        np.testing.assert_array_equal(i[:, 0], ids[:8])
+
+        assert server.delete(ids[:10]) == 10
+        _, i2 = server.search(queries[:32])
+        assert not np.isin(i2, ids[:10]).any()
+        st = server.stats()
+        assert st["mutable"] and st["inserts"] == 50 and st["deletes"] == 10
+        assert st["rows"] == len(data) + 40
+
+        # online compact over HTTP: enough deletes to free chunks, then
+        # bit-identical searches and a strictly smaller chunk axis
+        victims = list(range(2, len(data) + 1, 2))
+        assert server.delete(victims) == len(victims)
+        _, before = server.search(queries[:16])
+        httpd = make_http_server(server, "127.0.0.1", 0)
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/compact", data=b"{}",
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                rep = json.loads(r.read())
+            assert rep["chunks_after"] < rep["chunks_before"]
+            _, after = server.search(queries[:16])
+            np.testing.assert_array_equal(before, after)
+            assert not np.isin(after, victims).any()
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+    finally:
+        server.close()
