@@ -827,16 +827,26 @@ def _scan_fused_pallas(
     w_real = plan_blob[QP + 2 * W : QP + 2 * W + 1]
     pair_rows = plan_blob[QP + 2 * W + 1 : QP + 2 * W + 1 + QV]
     pair_ok = plan_blob[QP + 2 * W + 1 + QV :] != 0
-    work_queries = _gather_work_queries(queries_all, qidx)
-
     qscale2d = None
     if compute == "int8":
-        # quantize the query tiles on device (ops/quantize semantics);
-        # the kernel folds q_scale · row_scale into the similarity
+        # quantize BEFORE the work-tile gather: quantize_rows is
+        # per-row, so quantize(queries)[g] == quantize(queries[g])
+        # bit-for-bit — but the gather moves int8 rows (4× fewer
+        # bytes) and the quantize passes run over Q rows instead of
+        # QP ≈ 4.6 Q.  The XLA row gather is latency-bound (~0.3-0.7
+        # µs/row, probe_fused), so this cut the 31 ms gather+quant
+        # stage roughly in half at the flagship shape.
         from learnedmetricindex_tpu.ops.quantize import quantize_rows
 
-        work_queries, q_sc = quantize_rows(work_queries)
-        qscale2d = q_sc.reshape(n_pairs, qtile)
+        q_int, q_sc_all = quantize_rows(queries_all)
+        valid = qidx >= 0
+        g = jnp.maximum(qidx, 0)
+        work_queries = jnp.where(valid[:, None], q_int[g], 0)
+        qscale2d = jnp.where(valid, q_sc_all[g], 0.0).reshape(
+            n_pairs, qtile
+        )
+    else:
+        work_queries = _gather_work_queries(queries_all, qidx)
     cand_d, cand_slot = pallas_scan_pairs(
         work_queries,
         qidx.reshape(n_pairs, qtile),
@@ -895,8 +905,17 @@ def _merge_pairs_dense(
     count) measured ~0.06 s of the 0.17 s flagship dispatch; this is
     ~milliseconds."""
     Q = pair_rows.shape[0] // V
-    d = cand_d[pair_rows]  # (Q*V, k) contiguous-row gather
-    s = cand_s[pair_rows]
+    # ONE interleaved row gather instead of two.  The interleave rides
+    # in INT space: slot values viewed as f32 are denormal bit patterns
+    # that TPU ops flush to zero (measured: recall 0.0002), while f32
+    # distances viewed as int32 survive any data movement untouched.
+    packed = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(cand_d, jnp.int32), cand_s],
+        axis=1,
+    )
+    g = packed[pair_rows]  # (Q*V, 2k) contiguous-row gather
+    d = jax.lax.bitcast_convert_type(g[:, :k], jnp.float32)
+    s = g[:, k:]
     d = jnp.where(pair_ok[:, None], d, jnp.inf).reshape(Q, V * k)
     s = jnp.where(pair_ok[:, None], s, -1).reshape(Q, V * k)
     vals, pos = _item_topk(d, k, None)
