@@ -883,7 +883,17 @@ def _scan_fused_pallas(
             dists, slots, queries_all, chunk_data, scales_flat, k=k
         )
     ids = jnp.where(slots >= 0, ids_flat[jnp.maximum(slots, 0)], 0)
-    return dists, ids
+    # ONE packed FLAT output array: a host VALUE readback through the
+    # axon relay costs ~33 ms flat (probe_rtt; block_until_ready is a
+    # free async enqueue), so dists and ids return as one transfer —
+    # and a (Q, k) device array is lane-padded k→128, so the wire
+    # would carry ~10× the real bytes; a 1-D array keeps the compact
+    # T(1024) layout.  Measured: two (Q, 12) readbacks 110 ms → one
+    # flat readback ~45 ms.  Bits ride in int space (f32 views of ints
+    # are denormals the TPU flushes — see _merge_pairs_dense).
+    return jnp.stack(
+        [jax.lax.bitcast_convert_type(dists, jnp.int32), ids]
+    ).reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "V"))
@@ -1184,7 +1194,7 @@ def scan_buckets(
             blob = _pack_plan_blob(
                 qidx, item_meta, item_chunk_p, w_real, pair_rows, pair_ok
             )
-            dists, ids = _scan_fused_pallas(
+            packed_di = _scan_fused_pallas(
                 jnp.asarray(blob),
                 store.chunk_data,
                 scales_flat,
@@ -1208,7 +1218,7 @@ def scan_buckets(
                 gate=os.environ.get("LMI_SCAN_GATE", "count"),
             )
             ran_pallas = True
-            t0 = _dbg("scan-fused-pallas", t0, dists)
+            t0 = _dbg("scan-fused-pallas", t0, packed_di)
         except Exception as e:
             if engine == "pallas":
                 raise  # explicit request: surface the error
@@ -1243,7 +1253,11 @@ def scan_buckets(
         common["precision"] = "default"
     if ran_pallas:
         LAST_ENGINE = "pallas-fused"
-        return np.asarray(dists), np.asarray(ids).astype(np.uint32)
+        # ONE flat host transfer for both result arrays (each
+        # np.asarray is a ~33 ms relay round-trip, and 2-D (Q, k)
+        # layouts pad k to 128 lanes on the wire — probe_rtt/read)
+        both = np.asarray(packed_di).reshape(2, -1, k)
+        return both[0].view(np.float32), both[1].view(np.uint32)
     qidx_dev = jnp.asarray(qidx)
     work_queries = _gather_work_queries(q_dev_all, qidx_dev)
     if store.chunk_data is not None:

@@ -451,7 +451,12 @@ class LearnedIndex(Logger):
                 to_host_replicated(order)[:, :n_buckets],
                 time.perf_counter() - s,
             )
-        return np.asarray(order[:, :n_buckets]), time.perf_counter() - s
+        # flatten before the readback: a (Q, n_buckets) device array is
+        # lane-padded n_buckets→128, so the wire would carry up to 128×
+        # the real bytes; 1-D keeps the compact layout (probe_rtt/read)
+        nq = order.shape[0]
+        flat = np.asarray(order[:, :n_buckets].reshape(-1))
+        return flat.reshape(nq, n_buckets), time.perf_counter() - s
 
     def search(
         self,
@@ -516,6 +521,7 @@ class LearnedIndex(Logger):
         # global batches) manage their own shapes and are not touched.
         n_q = len(queries_navigation)
         pad_q = 0
+        same_queries = queries_navigation is queries_search
         if (
             isinstance(queries_navigation, np.ndarray)
             and isinstance(queries_search, np.ndarray)
@@ -552,6 +558,15 @@ class LearnedIndex(Logger):
                         queries_search[:1], (pad_q, queries_search.shape[1])
                     ),
                 ])
+        if same_queries and not isinstance(queries_search, jax.Array):
+            # single-embedding mode: navigation and scan read the SAME
+            # queries — upload once (every host→device transfer through
+            # the axon relay pays a ~33 ms round-trip, probe_rtt) and
+            # hand the device array to both phases
+            q_both = jnp.asarray(
+                np.ascontiguousarray(queries_search, dtype=np.float32)
+            )
+            queries_navigation = queries_search = q_both
         s = time.perf_counter()
 
         order, measured["inference"] = self.compute_bucket_order(
