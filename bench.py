@@ -304,6 +304,12 @@ def main():
                         "batches — probes serving latency under "
                         "corpus mutation (hint migration keeps the "
                         "compiled envelope; growth re-jits bounded)")
+    p.add_argument("--churn-sharded", type=int, default=0,
+                   help="with --serving-churn: ALSO run the churn pass "
+                        "over a mesh-sharded store on this many local "
+                        "devices (ShardedDynamicIndex via "
+                        "shard_packed_store — the path that carries "
+                        "mutability past one chip's HBM)")
     p.add_argument("--dataset", default="",
                    help="run on staged SISAP data instead of synthetic: "
                         "kind (e.g. clip768v2); requires dataset.h5 + "
@@ -640,6 +646,66 @@ def run_bench(args):
             f"p95={serving['churn']['p95_s']}s "
             f"max={serving['churn']['max_s']}s "
             f"mutation p50={serving['churn']['mutation_p50_s']}s")
+
+        if args.churn_sharded:
+            # same churn workload over a MESH-SHARDED store: promote
+            # the (already mutated) packed store to the mesh and drive
+            # ShardedDynamicIndex — the path that carries mutability
+            # past the single-chip HBM ceiling (PERFORMANCE.md; tested
+            # for exactness on the 8-virtual-device mesh)
+            from learnedmetricindex_tpu.parallel.mesh import create_mesh
+            from learnedmetricindex_tpu.parallel.sharded_index import (
+                shard_packed_store,
+            )
+            from learnedmetricindex_tpu.parallel.sharded_mutation import (
+                ShardedDynamicIndex,
+            )
+
+            n_dev = min(args.churn_sharded, jax.device_count())
+            mesh = create_mesh(n_dev)
+            t0 = time.perf_counter()
+            sdyn = ShardedDynamicIndex(
+                index, shard_packed_store(dyn.store, mesh),
+                next_id=dyn.next_id,
+            )
+            t_promote = time.perf_counter() - t0
+            lat_s, mut_s = [], []
+            for b in range(args.serving):
+                rows = c_rng.normal(
+                    size=(args.serving_churn, queries.shape[1])
+                ).astype(np.float32)
+                rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+                t0 = time.perf_counter()
+                new_ids = sdyn.insert(rows)
+                sdyn.delete(new_ids[: len(new_ids) // 2])
+                mut_s.append(time.perf_counter() - t0)
+                q_n = int(c_rng.integers(int(args.queries * 0.8),
+                                         args.queries + 1))
+                sel = c_rng.choice(args.queries, size=q_n, replace=False)
+                batch = queries[np.sort(sel)]
+                t0 = time.perf_counter()
+                sdyn.search(batch, n_buckets=args.visit, k=10,
+                            rerank_margin=args.rerank_margin,
+                            precision=precision, rerank=rerank)
+                lat_s.append(time.perf_counter() - t0)
+            lat_a = np.array(lat_s)
+            serving["churn_sharded"] = {
+                "devices": n_dev,
+                "promote_s": round(t_promote, 3),
+                "rows_per_batch": args.serving_churn,
+                "p50_s": round(float(np.percentile(lat_a, 50)), 4),
+                "p95_s": round(float(np.percentile(lat_a, 95)), 4),
+                "max_s": round(float(lat_a.max()), 4),
+                "mutation_p50_s": round(
+                    float(np.percentile(mut_s, 50)), 4
+                ),
+            }
+            log(f"  serving+churn SHARDED ({n_dev} dev): "
+                f"p50={serving['churn_sharded']['p50_s']}s "
+                f"p95={serving['churn_sharded']['p95_s']}s "
+                f"mutation p50="
+                f"{serving['churn_sharded']['mutation_p50_s']}s "
+                f"(promote {t_promote:.1f}s)")
 
     curve = {}
     if args.recall_curve:

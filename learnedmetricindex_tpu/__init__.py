@@ -61,16 +61,40 @@ def __getattr__(name):
     raise AttributeError(name)
 
 
+def _machine_cache_key() -> str:
+    """Fingerprint of this host's CPU feature set.  XLA:CPU AOT
+    artifacts encode target machine features (avx512, amx, ...);
+    loading one compiled on a different machine SIGILLs/segfaults
+    ("Target machine feature +X is not supported on this host").  A
+    shared /tmp cache dir must therefore be keyed per machine type."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
 def enable_compilation_cache(path: str = "/tmp/lmi-jax-cache") -> bool:
     """Enable JAX's persistent compilation cache (opt-in; the CLI,
     bench, and examples call this).  Fresh-process XLA compiles
     otherwise dominate wall-clock on remote-compile TPU runtimes —
     the scan's sort-merge alone compiles for minutes.  Returns False
-    if the running jax build does not support it."""
+    if the running jax build does not support it.  The directory is
+    suffixed with a CPU-feature fingerprint: stale cross-machine
+    XLA:CPU AOT artifacts are a reproducible segfault otherwise."""
     try:
         import jax
 
-        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update(
+            "jax_compilation_cache_dir", f"{path}-{_machine_cache_key()}"
+        )
         # 0: persist even sub-second programs — navigation alone spans
         # ~38 small programs of ~0.4 s each through the remote compile
         # service, all below the 0.5 s default threshold

@@ -827,6 +827,27 @@ def _scan_fused_pallas(
     w_real = plan_blob[QP + 2 * W : QP + 2 * W + 1]
     pair_rows = plan_blob[QP + 2 * W + 1 : QP + 2 * W + 1 + QV]
     pair_ok = plan_blob[QP + 2 * W + 1 + QV :] != 0
+    return _fused_core(
+        qidx, item_meta, item_chunk, w_real, pair_rows, pair_ok,
+        chunk_data, scales_flat, ids_flat, queries_all,
+        k_scan=k_scan, k=k, qtile=qtile, chunk=chunk, n_pairs=n_pairs,
+        compute=compute, interpret=interpret, rerank=rerank,
+        n_visits=n_visits, gate=gate,
+    )
+
+
+def _fused_core(
+    qidx, item_meta, item_chunk, w_real, pair_rows, pair_ok,
+    chunk_data, scales_flat, ids_flat, queries_all,
+    *, k_scan, k, qtile, chunk, n_pairs, compute, interpret, rerank,
+    n_visits, gate,
+):
+    """Traced body shared by the blob path (``_scan_fused_pallas``) and
+    the device-plan path (``_scan_device_plan``): query-tile gather,
+    Pallas kernel, dense merge, optional exact rerank, id resolution,
+    one flat packed output."""
+    from learnedmetricindex_tpu.ops.scan_kernel import pallas_scan_pairs
+
     qscale2d = None
     if compute == "int8":
         # quantize BEFORE the work-tile gather: quantize_rows is
@@ -894,6 +915,280 @@ def _scan_fused_pallas(
     return jnp.stack(
         [jax.lax.bitcast_convert_type(dists, jnp.int32), ids]
     ).reshape(-1)
+
+
+def _build_plan_device(
+    bucket_order,  # (Q, V) int32 device, -1 = unused visit
+    ptr,  # (n_buckets + 1,) int32 chunk CSR (device)
+    chunk_of,  # (n_assigned,) int32: CSR position → physical chunk
+    *,
+    qtile: int,
+    G: int,
+    QP_env: int,
+    W_env: int,
+):
+    """All-device ``build_scan_plan`` + ``pallas_host_args``: the same
+    (bucket, tile-group, chunk, tile-in-group) work list, built from a
+    DEVICE-resident navigation result — no bucket_order readback (a
+    ~33 ms relay round-trip per search) and no plan-blob upload.
+
+    Shapes are static ENVELOPES: ``QP_env`` bounds the padded pair
+    slots exactly (per-bucket padding < qtile each), ``W_env`` is a
+    heuristic bound on the work list — the returned ``w_actual``
+    exceeds it when navigation concentrates visits on large buckets,
+    and the caller must then fall back to the host plan (the packed
+    result carries the flag out in the same readback).
+    """
+    from learnedmetricindex_tpu.ops.scan_kernel import (
+        META_FIRST,
+        META_LAST,
+        META_PAIR_SHIFT,
+        META_TILE_SHIFT,
+        pad_item_meta,
+    )
+
+    Q, V = bucket_order.shape
+    QV = Q * V
+    n_buckets = ptr.shape[0] - 1
+    n_pairs_env = QP_env // qtile
+    i32 = jnp.int32
+
+    b_of = bucket_order.reshape(-1).astype(i32)  # (QV,)
+    valid = b_of >= 0
+    bq = jnp.where(valid, b_of, n_buckets)  # invalid pairs sort last
+    order = jnp.argsort(bq, stable=True).astype(i32)
+    b_sorted = bq[order]
+    q_sorted = (order // V).astype(i32)
+    valid_sorted = b_sorted < n_buckets
+
+    counts = jnp.bincount(bq, length=n_buckets + 1)[:n_buckets].astype(i32)
+    padded = -(-counts // qtile) * qtile
+    pad_starts = jnp.concatenate(
+        [jnp.zeros(1, i32), jnp.cumsum(padded)[:-1].astype(i32)]
+    )
+    src_starts = jnp.concatenate(
+        [jnp.zeros(1, i32), jnp.cumsum(counts)[:-1].astype(i32)]
+    )
+    bs = jnp.minimum(b_sorted, n_buckets - 1)
+    rank = jnp.arange(QV, dtype=i32) - src_starts[bs]
+    slot = pad_starts[bs] + rank  # (QV,) padded pair slot
+    slot = jnp.where(valid_sorted, slot, QP_env)
+
+    qidx = jnp.full(QP_env, -1, i32).at[slot].set(q_sorted, mode="drop")
+    # inverse map in ORIGINAL (query, visit) order
+    pair_slot = (
+        jnp.full(QV, -1, i32).at[order].set(jnp.where(
+            valid_sorted, slot, -1
+        ))
+    )
+
+    # ---- work items (same arithmetic as the host builder) ----------
+    nchunks = (ptr[1:] - ptr[:-1]).astype(i32)
+    ntiles = padded // qtile
+    items_pb = ntiles * nchunks
+    cum = jnp.cumsum(items_pb).astype(i32)  # inclusive
+    w_actual = cum[-1]
+
+    w_iota = jnp.arange(W_env, dtype=i32)
+    bkt = jnp.searchsorted(cum, w_iota, side="right").astype(i32)
+    in_range = w_iota < w_actual
+    bc = jnp.minimum(bkt, n_buckets - 1)
+    within = w_iota - (cum[bc] - items_pb[bc])
+    Tb = ntiles[bc]
+    Cb = jnp.maximum(nchunks[bc], 1)
+    g = within // (Cb * G)
+    gsize = jnp.maximum(jnp.minimum(G, Tb - g * G), 1)
+    rem = within - Cb * G * g
+    c = rem // gsize
+    t_in_g = rem % gsize
+    t = g * G + t_in_g
+    item_chunk = jnp.where(in_range, chunk_of[ptr[bc] + c], 0)
+    pair = pad_starts[bc] // qtile + t
+    meta = (
+        (pair << META_PAIR_SHIFT)
+        | (t_in_g << META_TILE_SHIFT)
+        | jnp.where(c == 0, META_FIRST, 0)
+        | jnp.where(c == Cb - 1, META_LAST, 0)
+    )
+    item_meta = jnp.where(
+        in_range, meta, pad_item_meta(n_pairs_env)
+    ).astype(i32)
+    w_real = jnp.minimum(w_actual, W_env).reshape(1)
+
+    # ---- dense-merge map -------------------------------------------
+    pair_written = (
+        jnp.zeros(n_pairs_env + 1, bool)
+        .at[jnp.where(in_range, pair, n_pairs_env)]
+        .set(True, mode="drop")
+        .at[n_pairs_env]
+        .set(False)
+    )
+    ok = pair_slot >= 0
+    pair_rows = jnp.where(ok, pair_slot, n_pairs_env * qtile)
+    pair_ok = ok & pair_written[
+        jnp.minimum(pair_rows // qtile, n_pairs_env)
+    ]
+    return (
+        qidx, item_meta, item_chunk, w_real, pair_rows, pair_ok, w_actual
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k_scan", "k", "qtile", "chunk", "compute", "interpret",
+        "rerank", "gate", "G", "QP_env", "W_env",
+    ),
+)
+def _scan_device_plan(
+    bucket_order,  # (Q, V) int32 DEVICE array (navigation output)
+    ptr,  # (n_buckets + 1,) int32 chunk CSR
+    chunk_of,  # (n_assigned,) int32 CSR position → physical chunk
+    chunk_data,
+    scales_flat,
+    ids_flat,
+    queries_all,
+    *,
+    k_scan: int,
+    k: int,
+    qtile: int,
+    chunk: int,
+    compute: str,
+    interpret: bool,
+    rerank: bool,
+    gate: str,
+    G: int,
+    QP_env: int,
+    W_env: int,
+):
+    """ZERO-SYNC search dispatch: plan building + kernel + merge +
+    rerank + id resolve in one jitted call over the DEVICE navigation
+    result.  vs the blob path this removes the per-search
+    bucket_order readback (~33 ms relay RTT) and the plan upload; the
+    host sees only the final flat packed result, whose LAST element is
+    ``w_actual`` — when it exceeds the static ``W_env`` envelope the
+    results are invalid and the caller reruns via the host plan."""
+    qidx, item_meta, item_chunk, w_real, pair_rows, pair_ok, w_actual = (
+        _build_plan_device(
+            bucket_order, ptr, chunk_of,
+            qtile=qtile, G=G, QP_env=QP_env, W_env=W_env,
+        )
+    )
+    packed = _fused_core(
+        qidx, item_meta, item_chunk, w_real, pair_rows, pair_ok,
+        chunk_data, scales_flat, ids_flat, queries_all,
+        k_scan=k_scan, k=k, qtile=qtile, chunk=chunk,
+        n_pairs=QP_env // qtile, compute=compute, interpret=interpret,
+        rerank=rerank, n_visits=bucket_order.shape[1], gate=gate,
+    )
+    return jnp.concatenate([packed, w_actual.reshape(1)])
+
+
+def scan_buckets_device(
+    store: BucketStore,
+    queries,  # (Q, d) f32 — host or device
+    bucket_order,  # (Q, V) int32 DEVICE array
+    k: int = 10,
+    *,
+    qtile: int = 128,
+    precision: str = "default",
+    rerank: bool = True,
+    rerank_margin: int = 6,
+):
+    """Zero-sync Pallas scan over a device-resident navigation result.
+
+    Returns ``(dists, ids)`` like :func:`scan_buckets`, or ``None``
+    when the work list overflowed the compiled envelope (caller falls
+    back to the host-plan path; the envelope hint is grown so the NEXT
+    call compiles large enough).  Callers gate on
+    ``_pallas_engine_usable`` and packed stores.
+    """
+    global LAST_ENGINE
+    Q, V = int(bucket_order.shape[0]), int(bucket_order.shape[1])
+    k_scan = k + rerank_margin if rerank else k
+    if store.bucket_chunk_list is not None:
+        ptr_np = store.bucket_chunk_ptr.astype(np.int32)
+        chunk_of_np = store.bucket_chunk_list.astype(np.int32)
+    else:
+        ptr_np = store.bucket_chunk_start.astype(np.int32)
+        chunk_of_np = None  # identity
+    n_buckets = store.n_buckets
+    total_chunks = int(ptr_np[-1])
+
+    # static envelopes (sticky per store/qtile/V; key leads with
+    # id(chunk_ids) so migrate_shape_hints re-keys on mutation)
+    QP_env = (
+        -(-(Q * V) // qtile) * qtile + n_buckets * qtile
+    )
+    hints = _SHAPE_HINTS.setdefault(
+        (id(store.chunk_ids), "devplan", qtile, V), {}
+    )
+    if "W_env" not in hints:
+        # balanced-visits estimate with 2× slack; grows on overflow
+        nb_active = max(int((ptr_np[1:] > ptr_np[:-1]).sum()), 1)
+        est = (Q * V / (nb_active * qtile) + 1.0) * total_chunks
+        hints["W_env"] = int(2 * est) + 8
+    W_env = -(-hints["W_env"] // 8) * 8
+
+    from learnedmetricindex_tpu.ops.scan_kernel import META_PAIR_SHIFT
+
+    if QP_env // qtile >= (1 << (31 - META_PAIR_SHIFT)):
+        return None  # pair id would overflow the packed metadata
+
+    # cached CSR device arrays, revalidated BY OBJECT IDENTITY against
+    # the store's current host metadata: every mutation replaces these
+    # arrays, and a migrated hint must not carry a stale chunk map
+    # (strong refs held in the cache keep the ids from being recycled)
+    src = (store.bucket_chunk_start, store.bucket_chunk_list)
+    dev_cache = hints.setdefault("dev_arrays", {})
+    if dev_cache.get("src") is None or not (
+        dev_cache["src"][0] is src[0] and dev_cache["src"][1] is src[1]
+    ):
+        dev_cache["src"] = src
+        dev_cache["ptr"] = jnp.asarray(ptr_np)
+        dev_cache["chunk_of"] = jnp.asarray(
+            chunk_of_np
+            if chunk_of_np is not None
+            else np.arange(max(total_chunks, 1), dtype=np.int32)
+        )
+    if store.chunk_scales is not None:
+        scales_flat = store.chunk_scales.reshape(-1)
+    else:
+        scales_flat = (store.chunk_ids.reshape(-1) > 0).astype(jnp.float32)
+
+    G = min(max(int(os.environ.get("LMI_TILE_GROUP", 8)), 1), 8)
+    out = _scan_device_plan(
+        bucket_order,
+        dev_cache["ptr"],
+        dev_cache["chunk_of"],
+        store.chunk_data,
+        scales_flat,
+        store.chunk_ids.reshape(-1),
+        queries if isinstance(queries, jax.Array)
+        else jnp.asarray(queries, jnp.float32),
+        k_scan=k_scan,
+        k=k,
+        qtile=qtile,
+        chunk=store.chunk,
+        compute={"highest": "f32", "int8": "int8"}.get(precision, "bf16"),
+        interpret=jax.default_backend() != "tpu",
+        rerank=rerank,
+        gate=os.environ.get("LMI_SCAN_GATE", "count"),
+        G=G,
+        QP_env=QP_env,
+        W_env=W_env,
+    )
+    flat = np.asarray(out)  # ONE readback: results + w_actual
+    w_actual = int(flat[-1])
+    if w_actual > W_env:
+        # envelope overflow: results are truncated — grow the sticky
+        # envelope (next call compiles once at the bigger size) and
+        # tell the caller to rerun via the host plan
+        hints["W_env"] = int(w_actual * 1.25)
+        return None
+    both = flat[:-1].reshape(2, Q, k)
+    LAST_ENGINE = "pallas-fused-devplan"
+    return both[0].view(np.float32), both[1].view(np.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "V"))

@@ -341,12 +341,15 @@ class LearnedIndex(Logger):
         queries_navigation,
         n_buckets: int,
         policy: str = "best_first",
+        keep_on_device: bool = False,
     ) -> Tuple[np.ndarray, float]:
         """Phase A: per-query bucket visit order
         (cf. ``_precompute_bucket_order``, ``LearnedIndex.py:164-252``).
 
         Returns (order (Q, n_buckets) global bucket ids with -1 padding,
-        inference seconds).
+        inference seconds).  ``keep_on_device`` returns the order as a
+        DEVICE array without the host readback (a ~33 ms relay round
+        trip) — the zero-sync scan path consumes it directly.
         """
         s = time.perf_counter()
         if policy not in ("best_first", "joint"):
@@ -442,6 +445,8 @@ class LearnedIndex(Logger):
             order_np = np.concatenate(parts)[: q.shape[0]]
             return order_np, time.perf_counter() - s
         order = _navigate_device(q, *nav_args, **nav_kwargs)
+        if keep_on_device and not multi:
+            return order[:, :n_buckets], time.perf_counter() - s
         if multi:
             from learnedmetricindex_tpu.parallel.multiprocess import (
                 to_host_replicated,
@@ -569,23 +574,76 @@ class LearnedIndex(Logger):
             queries_navigation = queries_search = q_both
         s = time.perf_counter()
 
-        order, measured["inference"] = self.compute_bucket_order(
-            queries_navigation, n_buckets, policy=policy
-        )
-
         if store is None:
             store = self.get_bucket_store(data_search, data_prediction)
+
+        from learnedmetricindex_tpu.parallel.sharded_index import (
+            ShardedStore,
+            sharded_search,
+        )
+
+        # ZERO-SYNC fast path: navigation result stays on device and
+        # feeds a device-built scan plan — one dispatch chain, one
+        # flat readback; no bucket_order round-trip, no plan upload
+        # (each a ~33 ms relay RTT — PERFORMANCE.md).  Falls back to
+        # the host plan when the work list overflows the compiled
+        # envelope (rare; the envelope then grows for the next call).
+        import os as _os
+
+        from learnedmetricindex_tpu.index.bucket_store import (
+            _pallas_engine_usable,
+            scan_buckets_device,
+        )
+
+        order = None
+        if (
+            _os.environ.get("LMI_DEVICE_PLAN", "1") != "0"
+            and not isinstance(store, ShardedStore)
+            and getattr(store, "chunk_data", None) is not None
+            and _pallas_engine_usable(store, qtile)
+            and not (
+                precision == "int8"
+                and store.chunk_data.dtype != jnp.int8
+            )
+        ):
+            order_dev, measured["inference"] = self.compute_bucket_order(
+                queries_navigation, n_buckets, policy=policy,
+                keep_on_device=True,
+            )
+            if isinstance(order_dev, np.ndarray):  # sliced-nav path
+                order_dev = jnp.asarray(order_dev.astype(np.int32))
+            s_scan = time.perf_counter()
+            res = scan_buckets_device(
+                store,
+                queries_search
+                if isinstance(queries_search, jax.Array)
+                else np.asarray(queries_search, dtype=np.float32),
+                order_dev,
+                k=k,
+                qtile=qtile,
+                precision=precision,
+                rerank=rerank,
+                rerank_margin=rerank_margin,
+            )
+            if res is not None:
+                dists, anns = res
+                t_scan = time.perf_counter() - s_scan
+                measured["search_within_buckets"] = t_scan
+                measured["seq_search"] = t_scan
+                measured["search"] = time.perf_counter() - s
+                return dists[:n_q], anns[:n_q], measured
+            order = np.asarray(order_dev)  # envelope overflow: rerun
+
+        if order is None:
+            order, measured["inference"] = self.compute_bucket_order(
+                queries_navigation, n_buckets, policy=policy
+            )
 
         s_scan = time.perf_counter()
         q_search = (
             queries_search
             if isinstance(queries_search, jax.Array)
             else np.asarray(queries_search, dtype=np.float32)
-        )
-
-        from learnedmetricindex_tpu.parallel.sharded_index import (
-            ShardedStore,
-            sharded_search,
         )
 
         if isinstance(store, ShardedStore):

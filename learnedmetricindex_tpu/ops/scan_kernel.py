@@ -160,136 +160,143 @@ def _kernel(
         acc_d_ref[acc_rows, :] = jnp.full((kpad, qtile), jnp.inf, jnp.float32)
         acc_i_ref[acc_rows, :] = jnp.full((kpad, qtile), -1, jnp.int32)
 
-    # TRANSPOSED layout throughout: chunk rows on sublanes, queries on
-    # lanes.  Lane-dimension min/argmin over a 2k-wide matrix makes
-    # Mosaic's register allocator spill ~130 MB; the same reductions
-    # over the sublane dimension are native (measured: 0.7 s vs OOM).
-    tile = jnp.minimum(pair, qidx_ref.shape[0] - 1)
-    qi = qidx_ref[tile, :]  # (qtile,)
-    qv_cached = qcache_ref[cache_rows, :]  # (qtile, d)
-    if compute_dtype == jnp.int8:
-        # int8×int8→int32 on the MXU: 2× the bf16 throughput and no
-        # dequant cast of the slab.  Scales factor exactly:
-        # <q, x> = (q_int · x_int) · q_scale · x_scale.
-        sims = jax.lax.dot_general(
-            slab_ref[:],
-            qv_cached,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)  # (chunk, qtile)
-    else:
-        qv = qv_cached.astype(compute_dtype)  # (qtile, d)
-        cd = slab_ref[:].astype(compute_dtype)  # (chunk, d)
-        sims = jax.lax.dot_general(
-            cd,
-            qv,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            # f32 compute means FULL f32 (multi-pass MXU), matching the
-            # XLA engine's Precision.HIGHEST — the default would still
-            # run one bf16 pass even on f32 inputs
-            precision=(
-                jax.lax.Precision.HIGHEST
-                if compute_dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT
-            ),
-        )  # (chunk, qtile)
-    chunk = sims.shape[0]
-    # scales arrive as a 1-D block — 1-D HBM arrays keep the compact
-    # T(1024) layout (a (n_slots, 1) column array would be tile-padded
-    # 128×: 4.9 GB at 10M slots)
-    scales = scales_ref[:].reshape(chunk, 1)
-    sims = sims * scales
-    if compute_dtype == jnp.int8:
-        sims = sims * qscale_ref[tile, :][None, :]
-    # ONE select for all invalidity sources (padding slots, padding
-    # query lanes, padding work items): the kernel body is VPU-sweep
-    # bound (PERFORMANCE.md "Known headroom"), so three separate
-    # full-matrix selects were three sweeps where one suffices — the
-    # (chunk, 1) | (1, qtile) | scalar mask broadcasts in the same op
-    bad = jnp.logical_or(
-        jnp.logical_or(scales == 0.0, (qi < 0)[None, :]),
-        jnp.logical_not(is_valid),
-    )
-    dists = jnp.where(bad, jnp.inf, 1.0 - sims)
-
-    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, qtile), dimension=0)
-    put_row = jax.lax.broadcasted_iota(jnp.int32, (kpad, qtile), dimension=0)
-    slot0 = item_chunk_ref[i] * chunk  # first slot id of this chunk
-
-    def insert(m, am):
-        """Insert each lane's winner (value m, chunk row am) into the
-        tile's accumulator slot if it beats the lane's current k-th
-        best; returns the per-lane win mask.  Ties keep the incumbent
-        (reference stable-merge semantics: the earlier candidate
-        wins)."""
-        accd = acc_d_ref[acc_rows, :]
-        acck = jnp.where(put_row < k, accd, -jnp.inf)
-        tau = jnp.max(acck, axis=0)  # (qtile,) current k-th best
-        win = m < tau
-        amax = jnp.argmax(acck, axis=0).astype(jnp.int32)
-        put = jnp.logical_and(put_row == amax[None, :], win[None, :])
-        acc_d_ref[acc_rows, :] = jnp.where(put, m[None, :], accd)
-        acc_i_ref[acc_rows, :] = jnp.where(
-            put, (slot0 + am)[None, :], acc_i_ref[acc_rows, :]
+    # Envelope-padding items (i >= w_real — the device-plan path
+    # compiles a static W envelope) skip the whole compute body:
+    # no matmul, no materialization, no selection sweeps.  Their
+    # meta word has no first/last flags, so accumulators and
+    # outputs are untouched either way.
+    @pl.when(is_valid)
+    def _():
+        # TRANSPOSED layout throughout: chunk rows on sublanes, queries on
+        # lanes.  Lane-dimension min/argmin over a 2k-wide matrix makes
+        # Mosaic's register allocator spill ~130 MB; the same reductions
+        # over the sublane dimension are native (measured: 0.7 s vs OOM).
+        tile = jnp.minimum(pair, qidx_ref.shape[0] - 1)
+        qi = qidx_ref[tile, :]  # (qtile,)
+        qv_cached = qcache_ref[cache_rows, :]  # (qtile, d)
+        if compute_dtype == jnp.int8:
+            # int8×int8→int32 on the MXU: 2× the bf16 throughput and no
+            # dequant cast of the slab.  Scales factor exactly:
+            # <q, x> = (q_int · x_int) · q_scale · x_scale.
+            sims = jax.lax.dot_general(
+                slab_ref[:],
+                qv_cached,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)  # (chunk, qtile)
+        else:
+            qv = qv_cached.astype(compute_dtype)  # (qtile, d)
+            cd = slab_ref[:].astype(compute_dtype)  # (chunk, d)
+            sims = jax.lax.dot_general(
+                cd,
+                qv,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                # f32 compute means FULL f32 (multi-pass MXU), matching the
+                # XLA engine's Precision.HIGHEST — the default would still
+                # run one bf16 pass even on f32 inputs
+                precision=(
+                    jax.lax.Precision.HIGHEST
+                    if compute_dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT
+                ),
+            )  # (chunk, qtile)
+        chunk = sims.shape[0]
+        # scales arrive as a 1-D block — 1-D HBM arrays keep the compact
+        # T(1024) layout (a (n_slots, 1) column array would be tile-padded
+        # 128×: 4.9 GB at 10M slots)
+        scales = scales_ref[:].reshape(chunk, 1)
+        sims = sims * scales
+        if compute_dtype == jnp.int8:
+            sims = sims * qscale_ref[tile, :][None, :]
+        # ONE select for all invalidity sources (padding slots, padding
+        # query lanes, padding work items): the kernel body is VPU-sweep
+        # bound (PERFORMANCE.md "Known headroom"), so three separate
+        # full-matrix selects were three sweeps where one suffices — the
+        # (chunk, 1) | (1, qtile) | scalar mask broadcasts in the same op
+        bad = jnp.logical_or(
+            jnp.logical_or(scales == 0.0, (qi < 0)[None, :]),
+            jnp.logical_not(is_valid),
         )
-        return win
+        dists = jnp.where(bad, jnp.inf, 1.0 - sims)
 
-    def extract_next(_):
-        """One ascending-cursor extraction + accumulator insert (the
-        cursor makes extraction j+1 the minimum strictly after
-        extraction j's ``(value, row)`` pair — no workspace masking or
-        write-backs, stable tie order)."""
-        d = d_ref[:]
-        mp = mprev_ref[0, :]  # (qtile,)
-        rp = rprev_ref[0, :]
-        elig = jnp.logical_or(
-            d > mp[None, :],
-            jnp.logical_and(d == mp[None, :], row > rp[None, :]),
-        )
-        dv = jnp.where(elig, d, jnp.inf)
-        m = jnp.min(dv, axis=0)
-        am = jnp.argmin(dv, axis=0).astype(jnp.int32)
-        insert(m, am)
-        mprev_ref[:] = jnp.broadcast_to(m[None, :], (8, qtile))
-        rprev_ref[:] = jnp.broadcast_to(am[None, :], (8, qtile))
+        row = jax.lax.broadcasted_iota(jnp.int32, (chunk, qtile), dimension=0)
+        put_row = jax.lax.broadcasted_iota(jnp.int32, (kpad, qtile), dimension=0)
+        slot0 = item_chunk_ref[i] * chunk  # first slot id of this chunk
 
-    if gate == "fixed":
-        # legacy fixed-trip loop: extraction 0 fused with the
-        # materialization pass, k-1 further sweeps unconditionally
-        m0 = jnp.min(dists, axis=0)  # (qtile,)
-        am0 = jnp.argmin(dists, axis=0).astype(jnp.int32)
-        insert(m0, am0)
-        d_ref[:] = dists
-        mprev_ref[:] = jnp.broadcast_to(m0[None, :], (8, qtile))
-        rprev_ref[:] = jnp.broadcast_to(am0[None, :], (8, qtile))
-        jax.lax.fori_loop(1, k, lambda j, c: (extract_next(None), 0)[1], 0)
-    else:
-        # COUNT-GATED selection: an element can enter the accumulator
-        # only if it beats tau, the pair's current k-th best (inserts
-        # only shrink tau, so the pre-insert tau bounds eligibility).
-        # One cheap counting sweep bounds the extractions actually
-        # needed; ascending-order extraction then visits exactly each
-        # lane's cnt smallest elements (everything < tau IS the lane's
-        # cnt-smallest prefix), capped at k (k ascending inserts
-        # already realize the exact top-k of accumulator ∪ chunk).
-        # After the pair's first chunk tau is tight and max-lane cnt is
-        # typically 1-3 instead of k — ~4× fewer VPU sweeps per item.
-        # (Distinct from the round-2 "skip chunk if no lane can
-        # insert" gate, which never fired because SOME lane of 128
-        # nearly always inserts; here the trip count itself shrinks.)
-        d_ref[:] = dists
-        acck = jnp.where(put_row < k, acc_d_ref[acc_rows, :], -jnp.inf)
-        tau = jnp.max(acck, axis=0)  # (qtile,) current k-th best
-        cnt = jnp.sum((dists < tau[None, :]).astype(jnp.int32), axis=0)
-        trips = jnp.minimum(jnp.max(cnt), k)
-        mprev_ref[:] = jnp.full((8, qtile), -jnp.inf, jnp.float32)
-        rprev_ref[:] = jnp.full((8, qtile), -1, jnp.int32)
-        jax.lax.while_loop(
-            lambda j: j < trips,
-            lambda j: (extract_next(None), j + 1)[1],
-            jnp.int32(0),
-        )
+        def insert(m, am):
+            """Insert each lane's winner (value m, chunk row am) into the
+            tile's accumulator slot if it beats the lane's current k-th
+            best; returns the per-lane win mask.  Ties keep the incumbent
+            (reference stable-merge semantics: the earlier candidate
+            wins)."""
+            accd = acc_d_ref[acc_rows, :]
+            acck = jnp.where(put_row < k, accd, -jnp.inf)
+            tau = jnp.max(acck, axis=0)  # (qtile,) current k-th best
+            win = m < tau
+            amax = jnp.argmax(acck, axis=0).astype(jnp.int32)
+            put = jnp.logical_and(put_row == amax[None, :], win[None, :])
+            acc_d_ref[acc_rows, :] = jnp.where(put, m[None, :], accd)
+            acc_i_ref[acc_rows, :] = jnp.where(
+                put, (slot0 + am)[None, :], acc_i_ref[acc_rows, :]
+            )
+            return win
+
+        def extract_next(_):
+            """One ascending-cursor extraction + accumulator insert (the
+            cursor makes extraction j+1 the minimum strictly after
+            extraction j's ``(value, row)`` pair — no workspace masking or
+            write-backs, stable tie order)."""
+            d = d_ref[:]
+            mp = mprev_ref[0, :]  # (qtile,)
+            rp = rprev_ref[0, :]
+            elig = jnp.logical_or(
+                d > mp[None, :],
+                jnp.logical_and(d == mp[None, :], row > rp[None, :]),
+            )
+            dv = jnp.where(elig, d, jnp.inf)
+            m = jnp.min(dv, axis=0)
+            am = jnp.argmin(dv, axis=0).astype(jnp.int32)
+            insert(m, am)
+            mprev_ref[:] = jnp.broadcast_to(m[None, :], (8, qtile))
+            rprev_ref[:] = jnp.broadcast_to(am[None, :], (8, qtile))
+
+        if gate == "fixed":
+            # legacy fixed-trip loop: extraction 0 fused with the
+            # materialization pass, k-1 further sweeps unconditionally
+            m0 = jnp.min(dists, axis=0)  # (qtile,)
+            am0 = jnp.argmin(dists, axis=0).astype(jnp.int32)
+            insert(m0, am0)
+            d_ref[:] = dists
+            mprev_ref[:] = jnp.broadcast_to(m0[None, :], (8, qtile))
+            rprev_ref[:] = jnp.broadcast_to(am0[None, :], (8, qtile))
+            jax.lax.fori_loop(1, k, lambda j, c: (extract_next(None), 0)[1], 0)
+        else:
+            # COUNT-GATED selection: an element can enter the accumulator
+            # only if it beats tau, the pair's current k-th best (inserts
+            # only shrink tau, so the pre-insert tau bounds eligibility).
+            # One cheap counting sweep bounds the extractions actually
+            # needed; ascending-order extraction then visits exactly each
+            # lane's cnt smallest elements (everything < tau IS the lane's
+            # cnt-smallest prefix), capped at k (k ascending inserts
+            # already realize the exact top-k of accumulator ∪ chunk).
+            # After the pair's first chunk tau is tight and max-lane cnt is
+            # typically 1-3 instead of k — ~4× fewer VPU sweeps per item.
+            # (Distinct from the round-2 "skip chunk if no lane can
+            # insert" gate, which never fired because SOME lane of 128
+            # nearly always inserts; here the trip count itself shrinks.)
+            d_ref[:] = dists
+            acck = jnp.where(put_row < k, acc_d_ref[acc_rows, :], -jnp.inf)
+            tau = jnp.max(acck, axis=0)  # (qtile,) current k-th best
+            cnt = jnp.sum((dists < tau[None, :]).astype(jnp.int32), axis=0)
+            trips = jnp.minimum(jnp.max(cnt), k)
+            mprev_ref[:] = jnp.full((8, qtile), -jnp.inf, jnp.float32)
+            rprev_ref[:] = jnp.full((8, qtile), -1, jnp.int32)
+            jax.lax.while_loop(
+                lambda j: j < trips,
+                lambda j: (extract_next(None), j + 1)[1],
+                jnp.int32(0),
+            )
 
     @pl.when(is_last)
     def _():
