@@ -209,7 +209,7 @@ def pack_store_by_regen(index, pred, gen: RowGenerator, n, chunk,
 
 
 def timed_search(index, queries, pred, visit, store, approx, margin, reps,
-                 precision="default", rerank=True):
+                 precision="default", rerank=True, policy="best_first"):
     """One untimed warmup (compilation at this visit-set shape), then
     ``reps`` timed passes; returns the median."""
     times, anns = [], None
@@ -218,6 +218,7 @@ def timed_search(index, queries, pred, visit, store, approx, margin, reps,
             None, queries, None, queries, pred, None,
             n_buckets=visit, k=10, approx_recall=approx, store=store,
             rerank_margin=margin, precision=precision, rerank=rerank,
+            policy=policy,
         )
         if rep:
             times.append(t["search"])
@@ -343,6 +344,18 @@ def main():
                         "default so the driver-recorded artifact "
                         "carries the ranking-pressure recall, not just "
                         "the 0.9999 ceiling regime)")
+    p.add_argument("--nav-policy", default="best_first",
+                   choices=["best_first", "joint"],
+                   help="multi-level navigation policy: reference-parity "
+                        "best-first traversal, or joint path-probability "
+                        "top-k (TPU-fast, often higher recall when the "
+                        "2-level gap is navigation loss — compare "
+                        "against two_level.oracle_nav)")
+    p.add_argument("--art-suffix", dest="art_suffix", default="",
+                   help="write two-level artifacts to bench_artifacts"
+                        "<suffix>/ instead of bench_artifacts/ — keeps "
+                        "experiment sweeps from overwriting the "
+                        "committed flagship res.csv/result.png/*.h5")
     args = p.parse_args()
 
     if args.hard:
@@ -544,6 +557,7 @@ def run_bench(args):
         None, queries, None, queries, pred, None,
         n_buckets=args.visit, k=10, approx_recall=approx, store=store,
         rerank_margin=args.rerank_margin, precision=precision, rerank=rerank,
+        policy=args.nav_policy,
     )
     log(f"  warmup (incl. compile): {time.perf_counter() - t0:.1f}s "
         f"[{ {k: round(v, 3) for k, v in warm_t.items()} }]")
@@ -551,6 +565,7 @@ def run_bench(args):
     search_s, anns, t_last = timed_search(
         index, queries, pred, args.visit, store, approx,
         args.rerank_margin, args.reps, precision=precision, rerank=rerank,
+        policy=args.nav_policy,
     )
     log(f"  median search={search_s:.3f}s (last: inference="
         f"{t_last['inference']:.3f}s scan={t_last['seq_search']:.3f}s)")
@@ -715,7 +730,7 @@ def run_bench(args):
                 sv, av, _ = timed_search(
                     index, queries, pred, v, store, approx,
                     args.rerank_margin, 2, precision=precision,
-                    rerank=rerank,
+                    rerank=rerank, policy=args.nav_policy,
                 )
             except Exception as e:  # e.g. HBM OOM at large visit counts
                 log(f"  curve visit={v}: skipped ({type(e).__name__}: "
@@ -776,7 +791,7 @@ def run_bench(args):
                 sv, av, _ = timed_search(
                     two_index, queries, two_pred, v, store2, approx,
                     args.rerank_margin, 2, precision=precision,
-                    rerank=rerank,
+                    rerank=rerank, policy=args.nav_policy,
                 )
             except Exception as e:
                 log(f"  2-level visit={v}: skipped ({type(e).__name__}: "
@@ -836,6 +851,7 @@ def run_bench(args):
         "build_steady": build_steady,
         "update_rule": args.update_rule,
         "class_weight": args.class_weight,
+        "nav_policy": args.nav_policy,
         "queries": args.queries,
         "qps": round(args.queries / search_s, 1),
         "dtype": "int8",

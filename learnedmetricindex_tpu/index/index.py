@@ -74,7 +74,7 @@ def _masked_level_probs(params, mask, queries):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cap", "policy", "layout_key")
+    jax.jit, static_argnames=("cap", "policy", "layout_key", "frontier")
 )
 def _navigate_device(
     queries,  # (Q, d) f32
@@ -88,6 +88,7 @@ def _navigate_device(
     cap: int,
     policy: str,
     layout_key,
+    frontier: int = 16,
 ):
     """The WHOLE navigation phase as one jitted dispatch: per-level
     stacked forwards + masking + the ordering policy.  Issued as eager
@@ -122,6 +123,7 @@ def _navigate_device(
         first_level_end,
         n_buckets=cap,
         layout_key=layout_key,
+        frontier=frontier,
     )
 
 
@@ -401,6 +403,7 @@ class LearnedIndex(Logger):
             _quantize_visits,
             check_best_first_budget,
             max_best_first_queries,
+            nav_frontier,
         )
 
         layout = self.layout
@@ -430,7 +433,10 @@ class LearnedIndex(Logger):
             _repl(np.int32(layout.offsets[1])) if multi
             else jnp.int32(layout.offsets[1]),
         )
-        nav_kwargs = dict(cap=cap, policy=policy, layout_key=layout.offsets)
+        nav_kwargs = dict(
+            cap=cap, policy=policy, layout_key=layout.offsets,
+            frontier=nav_frontier(),
+        )
         if nav_slice is not None and q.shape[0] > nav_slice:
             parts = []
             for s0 in range(0, q.shape[0], nav_slice):

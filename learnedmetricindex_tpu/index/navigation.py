@@ -131,7 +131,9 @@ def flatten_entry_probs(
     return flat
 
 
-@functools.partial(jax.jit, static_argnames=("n_buckets", "layout_key"))
+@functools.partial(
+    jax.jit, static_argnames=("n_buckets", "layout_key", "frontier")
+)
 def _best_first_device(
     entry_probs: jnp.ndarray,  # (Q, E)
     child_base: jnp.ndarray,
@@ -141,9 +143,24 @@ def _best_first_device(
     *,
     n_buckets: int,
     layout_key: Tuple,
+    frontier: int = 16,
 ):
+    """Frontier-``F`` best-first traversal.
+
+    Each iteration takes the top-``F`` queued entries per query and
+    pops the longest PREFIX of leaves plus (at most) the first
+    internal entry.  This reproduces one-pop-at-a-time semantics
+    exactly: a leaf pop unlocks nothing, so the pop sequence can only
+    diverge AFTER the first internal pop — whose unlocked children
+    (ranked by conditional probability, reference
+    ``LearnedIndex.py:286-299``) may outrank everything still queued
+    and are therefore re-ranked next iteration.  Visit-heavy sweeps
+    (``n_buckets`` near ``n_leaves``, the reference's
+    ``--buckets-perc 100`` end) emit up to ``F`` leaves per iteration
+    instead of one."""
     Q, E = entry_probs.shape
     HIDDEN, QUEUED, POPPED = 0, 1, 2
+    F = max(1, min(frontier, E))
     leaf_offset = jnp.int32(layout_key[-2])  # first leaf entry index
 
     col = jnp.arange(E, dtype=jnp.int32)[None, :]
@@ -153,6 +170,7 @@ def _best_first_device(
 
     order0 = jnp.full((Q, n_buckets), -1, jnp.int32)
     emitted0 = jnp.zeros((Q,), jnp.int32)
+    rows = jnp.arange(Q, dtype=jnp.int32)[:, None]
 
     def cond(state):
         status, emitted, order = state
@@ -162,35 +180,63 @@ def _best_first_device(
     def body(state):
         status, emitted, order = state
         masked = jnp.where(status == QUEUED, entry_probs, -jnp.inf)
-        pop = jnp.argmax(masked, axis=1).astype(jnp.int32)  # (Q,)
-        pop_prob = jnp.take_along_axis(masked, pop[:, None], axis=1)[:, 0]
-        do = (emitted < n_buckets) & (pop_prob > INVALID + 0.5)
+        # top_k ties → ascending index, matching repeated argmax pops
+        vals, pops = jax.lax.top_k(masked, F)  # (Q, F)
+        pops = pops.astype(jnp.int32)
+        valid_f = vals > INVALID + 0.5
+        leaf_f = is_leaf[pops]
 
-        # mark popped
-        onehot = col == pop[:, None]
-        status = jnp.where(
-            onehot & do[:, None], jnp.uint8(POPPED), status
+        # longest leaf prefix + the first internal entry (see docstring)
+        prev_all_leaf = jnp.cumprod(
+            jnp.concatenate(
+                [jnp.ones((Q, 1), jnp.int32), leaf_f[:, :-1].astype(jnp.int32)],
+                axis=1,
+            ),
+            axis=1,
+        ).astype(bool)
+        take_pfx = prev_all_leaf & valid_f
+        emit_pfx = take_pfx & leaf_f
+        # leaves popped strictly before batch position j
+        before = jnp.cumsum(emit_pfx.astype(jnp.int32), axis=1) - emit_pfx
+        # sequential gate: entry j is popped iff the query still needs
+        # buckets at that point (emitted-so-far < n_buckets)
+        take = take_pfx & (emitted[:, None] + before < n_buckets)
+
+        # mark popped (top_k positions are distinct per row)
+        cur = status[rows, pops]
+        status = status.at[rows, pops].set(
+            jnp.where(take, jnp.uint8(POPPED), cur)
         )
 
-        leaf = is_leaf[pop] & do
-        # emit leaf: bucket id = pop - leaf_offset
-        slot = jnp.minimum(emitted, n_buckets - 1)
-        rows = jnp.arange(Q)
-        order = order.at[rows, slot].set(
-            jnp.where(leaf, pop - leaf_offset, order[rows, slot])
-        )
-        emitted = emitted + leaf.astype(jnp.int32)
+        # emit leaves at their sequential slots
+        is_emit = take & leaf_f
+        slot = jnp.where(is_emit, emitted[:, None] + before, n_buckets)
+        order = order.at[rows, slot].set(pops - leaf_offset, mode="drop")
+        emitted = emitted + jnp.sum(is_emit, axis=1, dtype=jnp.int32)
 
-        # unlock children of popped internal entries
-        base = child_base[pop][:, None]
-        cnt = child_count[pop][:, None]
+        # unlock children of the (single) popped internal entry
+        internal = take & ~leaf_f  # at most one True per row
+        any_int = jnp.any(internal, axis=1)
+        pop_i = pops[rows[:, 0], jnp.argmax(internal, axis=1)]
+        base = child_base[pop_i][:, None]
+        cnt = child_count[pop_i][:, None]
         in_range = (col >= base) & (col < base + cnt)
-        unlock = in_range & (do & ~leaf)[:, None] & (status == HIDDEN)
+        unlock = in_range & any_int[:, None] & (status == HIDDEN)
         status = jnp.where(unlock, jnp.uint8(QUEUED), status)
         return status, emitted, order
 
     _, _, order = jax.lax.while_loop(cond, body, (status0, emitted0, order0))
     return order
+
+
+def nav_frontier() -> int:
+    """Frontier width ``F`` of the best-first traversal (see
+    :func:`_best_first_device`): up to ``F`` entries popped per
+    while-loop iteration without changing the pop order.  Override via
+    ``LMI_NAV_FRONTIER`` (1 = the one-pop-per-iteration loop)."""
+    import os
+
+    return max(1, int(os.environ.get("LMI_NAV_FRONTIER", 16)))
 
 
 #: Default ceiling on the best-first state machine (bytes of per-query
@@ -287,6 +333,7 @@ def best_first_order(
         jnp.int32(layout.offsets[1]),
         n_buckets=cap,
         layout_key=layout.offsets,
+        frontier=nav_frontier(),
     )
     return np.asarray(order[:, :n_buckets])
 

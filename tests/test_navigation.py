@@ -260,3 +260,27 @@ def test_wide_tree_public_path_auto_slices(monkeypatch):
     monkeypatch.delenv("LMI_MAX_NAV_STATE_BYTES")
     j2, _ = index.compute_bucket_order(queries, 7, policy="joint")
     np.testing.assert_array_equal(j1, j2)
+
+
+def test_frontier_widths_identical_orders(monkeypatch):
+    """The frontier-F pop (leaf-prefix + first internal per iteration)
+    must reproduce the one-pop-per-iteration order bitwise at every
+    width, including the visit-heavy full sweep (n_buckets == n_leaves,
+    the reference's --buckets-perc 100 end)."""
+    from learnedmetricindex_tpu.index.navigation import nav_frontier
+
+    rng = np.random.default_rng(11)
+    n_categories = (5, 4, 3)
+    layout = TreeLayout.create(n_categories)
+    level_probs, level_valid = _random_probs(rng, 30, n_categories)
+    entry = flatten_entry_probs(layout, level_probs, level_valid)
+
+    for n_buckets in (1, 7, layout.n_leaves):
+        monkeypatch.setenv("LMI_NAV_FRONTIER", "1")
+        assert nav_frontier() == 1
+        serial = best_first_order(layout, entry, n_buckets)
+        for width in (2, 16, layout.n_entries + 5):
+            monkeypatch.setenv("LMI_NAV_FRONTIER", str(width))
+            got = best_first_order(layout, entry, n_buckets)
+            np.testing.assert_array_equal(got, serial)
+    monkeypatch.delenv("LMI_NAV_FRONTIER")
