@@ -82,16 +82,29 @@ def _machine_cache_key() -> str:
 
 
 def enable_compilation_cache(path: str = "/tmp/lmi-jax-cache") -> bool:
-    """Enable JAX's persistent compilation cache (opt-in; the CLI,
-    bench, and examples call this).  Fresh-process XLA compiles
-    otherwise dominate wall-clock on remote-compile TPU runtimes —
-    the scan's sort-merge alone compiles for minutes.  Returns False
-    if the running jax build does not support it.  The directory is
-    suffixed with a CPU-feature fingerprint: stale cross-machine
-    XLA:CPU AOT artifacts are a reproducible segfault otherwise."""
+    """Enable JAX's persistent compilation cache — **TPU backend
+    only** (opt-in; the CLI, bench, and examples call this).
+    Fresh-process XLA compiles otherwise dominate wall-clock on
+    remote-compile TPU runtimes — the scan's sort-merge alone
+    compiles for minutes.  Returns False (a no-op) on non-TPU
+    backends or when the running jax build lacks support.
+
+    Why the backend gate: persisted **XLA:CPU** executables are AOT
+    machine code for the *compiling* host's exact CPU features;
+    loading one on a different host is at best a
+    ``cpu_aot_loader.cc`` feature-mismatch warning and at worst
+    SIGILL/SIGSEGV *inside deserialization* — observed as a
+    deterministic full-test-suite crash when an in-process CLI run
+    had globally enabled the cache and a later test's server
+    dispatcher thread re-read a stale entry.  TPU executables
+    carry topology/version metadata and fail loudly instead.  The
+    directory is still suffixed with a CPU fingerprint as a second
+    fence."""
     try:
         import jax
 
+        if jax.default_backend() != "tpu":
+            return False
         jax.config.update(
             "jax_compilation_cache_dir", f"{path}-{_machine_cache_key()}"
         )

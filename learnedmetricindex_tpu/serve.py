@@ -162,6 +162,7 @@ class SearchServer(Logger):
         self._latencies: deque = deque(maxlen=4096)  # seconds, per request
         self._batch_sizes: deque = deque(maxlen=4096)
 
+        self._warmup = bool(warmup)
         if warmup:
             # compile the serving envelope up front: one max_batch-sized
             # dispatch (sticky padding then reuses it for every smaller
@@ -235,20 +236,24 @@ class SearchServer(Logger):
                 f"vectors must be (N, {self.d}) float32, got {vectors.shape}"
             )
         with self._mutate_lock:
+            old = self.store
             ids = self.dynamic.insert(vectors, object_ids)
             self.store = self.dynamic.store
             with self._lock:
                 self._n_inserts += len(ids)
+            self._warm_after_mutation(old)
         return ids
 
     def delete(self, object_ids) -> int:
         """Delete rows by 1-based id; returns how many existed."""
         self._require_dynamic()
         with self._mutate_lock:
+            old = self.store
             n = self.dynamic.delete(np.asarray(object_ids, np.int64))
             self.store = self.dynamic.store
             with self._lock:
                 self._n_deletes += n
+            self._warm_after_mutation(old)
         return n
 
     def compact(self) -> Dict:
@@ -259,11 +264,35 @@ class SearchServer(Logger):
         snapshot.  Returns ``{"chunks_before": ..., "chunks_after": ...}``."""
         self._require_dynamic()
         with self._mutate_lock:
+            old = self.store
             before = self.dynamic.store.n_chunks
             self.dynamic.compact()
             self.store = self.dynamic.store
+            self._warm_after_mutation(old)
         return {"chunks_before": before,
                 "chunks_after": self.store.n_chunks}
+
+    def _warm_after_mutation(self, old_store) -> None:
+        """Compile + execute the new store's scan envelope on the
+        MUTATING thread when a mutation changed device-array shapes
+        (growth / compaction).  Two reasons, both production-facing:
+        the dispatcher thread never pays (or lazily triggers) a
+        multi-second first-compile mid-serving, so batch p95 stays
+        flat through growth; and all first-compiles happen on caller
+        threads, the same discipline as the constructor warmup.
+        Runs under ``_mutate_lock``; sticky shape hints make
+        same-shape mutations a no-op here."""
+        if not self._warmup:  # warmup=False opts out entirely
+            return
+        new = self.store
+        old_cd, new_cd = old_store.chunk_data, new.chunk_data
+        if (old_cd is None) == (new_cd is None) and (
+            old_cd is None or old_cd.shape == new_cd.shape
+        ):
+            return
+        q = np.zeros((self.max_batch, self.d), np.float32)
+        q[:, 0] = 1.0
+        self._dispatch(q)
 
     def stats(self) -> Dict:
         with self._lock:

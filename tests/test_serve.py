@@ -344,3 +344,52 @@ def test_dynamic_server_over_sharded_store():
             httpd.server_close()
     finally:
         server.close()
+
+
+def test_compilation_cache_noop_on_cpu():
+    """REGRESSION (round-4 full-suite segfault): in-process CLI runs
+    call ``enable_compilation_cache()``; on a non-TPU backend it must
+    be a NO-OP.  When it wasn't, the config leaked process-globally:
+    every later compile persisted XLA:CPU AOT executables to /tmp, and
+    re-reading a stale cross-machine entry SIGSEGV'd *inside
+    deserialization* — observed as the suite deterministically crashing
+    in a SearchServer dispatcher thread at test 162/188."""
+    import jax
+
+    before = jax.config.jax_compilation_cache_dir
+    assert lmi.enable_compilation_cache() is False
+    assert jax.config.jax_compilation_cache_dir == before
+
+
+def test_mutation_warms_new_envelope_on_mutating_thread(served):
+    """Shape-changing mutations compile the new scan envelope on the
+    CALLER thread (``_warm_after_mutation``), keeping lazy first-
+    compiles off the serving dispatcher thread and batch p95 flat
+    through store growth."""
+    _, data, _ = served
+    cfg = lmi.BuildConfiguration(
+        "kmeans", 30, "MLP-2", 0.01, [8], seed=7, chunk_size=256
+    )
+    index, pred, *_ = lmi.LearnedIndexBuilder(data, cfg).build()
+    dyn = lmi.DynamicIndex.from_built(index, data, pred)
+    server = SearchServer(dyn, k=10, n_buckets=8, max_batch=64,
+                          max_wait_ms=0.0)
+    try:
+        calls = []
+        orig = server._dispatch
+        server._dispatch = lambda q: (
+            calls.append(threading.current_thread().name), orig(q)
+        )[1]
+        old_shape = server.store.chunk_data.shape
+        extra, _ = synthetic_blobs(2000, 24, 1, n_clusters=16, seed=5)
+        server.insert(extra)
+        server._dispatch = orig
+        assert server.store.chunk_data.shape != old_shape, (
+            "test premise: 2000 rows into chunk=256 must grow the store"
+        )
+        assert calls, "growth must trigger a warm dispatch"
+        assert all(n != "lmi-serve-dispatch" for n in calls)
+        d, i = server.search(extra[:4], k=1)
+        assert i.shape == (4, 1)
+    finally:
+        server.close()
