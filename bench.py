@@ -245,7 +245,8 @@ def pack_store_by_regen(index, pred, gen: RowGenerator, n, chunk,
 
 
 def timed_search(index, queries, pred, visit, store, approx, margin, reps,
-                 precision="default", rerank=True, policy="best_first"):
+                 precision="default", rerank=True, policy="best_first",
+                 nav_temp=None):
     """One untimed warmup (compilation at this visit-set shape), then
     ``reps`` timed passes; returns the median."""
     times, anns = [], None
@@ -254,7 +255,7 @@ def timed_search(index, queries, pred, visit, store, approx, margin, reps,
             None, queries, None, queries, pred, None,
             n_buckets=visit, k=10, approx_recall=approx, store=store,
             rerank_margin=margin, precision=precision, rerank=rerank,
-            policy=policy,
+            policy=policy, nav_temp=nav_temp,
         )
         if rep:
             times.append(t["search"])
@@ -362,10 +363,14 @@ def main():
                         "(default) vs the reference's effective update "
                         "(ONE step per epoch from the runt batch, "
                         "search/li/model.py:191-211)")
-    p.add_argument("--class-weight", default="none",
+    p.add_argument("--class-weight", default="balanced",
                    choices=["none", "balanced"],
                    help="per-node class weighting of the training CE "
-                        "(reference CrossEntropyLoss(weight=) knob)")
+                        "(reference CrossEntropyLoss(weight=) knob). "
+                        "Default balanced: measured at 10M hard it "
+                        "lifts 1-level recall@4 0.9172→0.9691 and the "
+                        "2-level curve ~+0.02 at identical search "
+                        "speed (bench_artifacts/run/hard_r5bal)")
     p.add_argument("--two-level-epochs", default="",
                    help="per-level epochs for the 2-level tree, comma "
                         "list (e.g. '4,12'); default = --epochs")
@@ -380,13 +385,27 @@ def main():
                         "default so the driver-recorded artifact "
                         "carries the ranking-pressure recall, not just "
                         "the 0.9999 ceiling regime)")
-    p.add_argument("--nav-policy", default="best_first",
+    p.add_argument("--nav-policy", default="joint",
                    choices=["best_first", "joint"],
-                   help="multi-level navigation policy: reference-parity "
-                        "best-first traversal, or joint path-probability "
-                        "top-k (TPU-fast, often higher recall when the "
-                        "2-level gap is navigation loss — compare "
-                        "against two_level.oracle_nav)")
+                   help="multi-level navigation policy: joint "
+                        "path-probability top-k (default: TPU-fast and "
+                        "measured higher recall at every visit count — "
+                        "10M hard visit-10 0.854→0.876 unbalanced, "
+                        "0.870→0.891 balanced) or the reference-parity "
+                        "best-first traversal (order parity tested in "
+                        "tests/test_navigation.py)")
+    p.add_argument("--nav-temp", default="",
+                   help="navigation softmax temperature: scalar or "
+                        "per-level comma list (e.g. '2,1' flattens only "
+                        "level 1).  Ranking-neutral at 1 level; for the "
+                        "multi-level joint policy it counteracts "
+                        "per-level overconfidence (index.py "
+                        "_masked_level_probs)")
+    p.add_argument("--nav-temp-sweep", default="",
+                   help="ALSO evaluate the 2-level curve at each of "
+                        "these temperatures on the same built index — "
+                        "semicolon-separated specs, each scalar or "
+                        "per-level comma list (e.g. '2;4;2,1')")
     p.add_argument("--nav-policy-b", default="",
                    choices=["", "best_first", "joint"],
                    help="ALSO evaluate the 2-level recall curve under "
@@ -464,6 +483,9 @@ def main():
         h.serving = h.serving_churn = 0
         h.no_second_build = True
         h.art_suffix = "/hard"
+        # record BOTH navigation policies' 2-level curves (same build):
+        # joint is the flagship, best_first the reference-parity anchor
+        h.nav_policy_b = "best_first"
         log("=== appended hard-regime pass (c=32, noise=0.9, qnoise=0.3) ===")
         hard_res = run_bench(h)
         result["hard"] = {
@@ -932,14 +954,15 @@ def run_bench(args):
         )
         log(f"  2-level oracle-navigation ceiling: {two['oracle_nav']}")
 
-        def two_level_curve(policy, out, save_h5):
+        def two_level_curve(policy, out, save_h5, nav_temp=None):
+            label = policy if nav_temp is None else f"{policy} T={nav_temp}"
             for v in (1, 2, 4, 6, 10):
                 v = min(v, two_nb)
                 try:
                     sv, av, _ = timed_search(
                         two_index, queries, two_pred, v, store2, approx,
                         args.rerank_margin, 2, precision=precision,
-                        rerank=rerank, policy=policy,
+                        rerank=rerank, policy=policy, nav_temp=nav_temp,
                     )
                 except Exception as e:
                     log(f"  2-level visit={v}: skipped "
@@ -950,7 +973,7 @@ def run_bench(args):
                     "recall": round(rv, 4),
                     "search_s": round(sv * (10_000 / args.queries), 3),
                 }
-                log(f"  2-level[{policy}] visit={v}: recall={rv:.4f} "
+                log(f"  2-level[{label}] visit={v}: recall={rv:.4f} "
                     f"search={sv:.3f}s")
                 if not save_h5:
                     continue
@@ -966,7 +989,15 @@ def run_bench(args):
                 )
                 result_files.append(dst)
 
-        two_level_curve(args.nav_policy, two["visits"], True)
+        def _parse_temp(spec):
+            if not spec:
+                return None
+            parts = [float(x) for x in spec.split(",")]
+            return parts[0] if len(parts) == 1 else parts
+
+        nav_temp = _parse_temp(args.nav_temp)
+        two_level_curve(args.nav_policy, two["visits"], True,
+                        nav_temp=nav_temp)
         if args.nav_policy_b:
             # the same BUILT index under a second navigation policy —
             # isolates navigation policy from training (one build, two
@@ -974,8 +1005,17 @@ def run_bench(args):
             two[f"visits_{args.nav_policy_b}"] = {}
             two_level_curve(
                 args.nav_policy_b, two[f"visits_{args.nav_policy_b}"],
-                False,
+                False, nav_temp=nav_temp,
             )
+        if args.nav_temp_sweep:
+            # temperature is a search-time knob: one build, N curves
+            for spec in args.nav_temp_sweep.split(";"):
+                key = f"visits_T{spec}"
+                two[key] = {}
+                two_level_curve(
+                    args.nav_policy, two[key], False,
+                    nav_temp=_parse_temp(spec),
+                )
         rows = lmi_eval.evaluate_to_csv(
             result_files, gt, csv_path=f"{art_dir}/res.csv"
         )

@@ -914,7 +914,6 @@ def _fused_core(
         )
     cand_d, cand_slot = pallas_scan_pairs(
         work_queries,
-        qidx.reshape(n_pairs, qtile),
         item_meta,
         item_chunk,
         w_real,

@@ -63,9 +63,19 @@ class LevelModels:
         return self.class_mask.shape[1]
 
 
-def _masked_level_probs(params, mask, queries):
-    """(Q, n_models, C) conditional probabilities, masked classes at 0."""
-    logits = stacked_mlp_apply(params, queries)  # (M, Q, C)
+def _masked_level_probs(params, mask, queries, inv_temp=1.0):
+    """(Q, n_models, C) conditional probabilities, masked classes at 0.
+
+    ``inv_temp`` scales the logits before the softmax (temperature
+    ``T = 1/inv_temp``).  ``T > 1`` flattens a level's distribution;
+    for a SINGLE level this never changes the ranking (softmax is
+    monotone in the logits), but for multi-level JOINT ranking it
+    re-weights how much that level's confidence concentrates the
+    top-k: an overconfident level-1 model otherwise pushes the whole
+    visit list into one branch, which is exactly the measured
+    epochs-up/recall-down collapse (visit-1 recall flat, visit-2..10
+    falling — bench_artifacts/run/sweep_ep824 vs sweep_base)."""
+    logits = stacked_mlp_apply(params, queries) * inv_temp  # (M, Q, C)
     m = mask[:, None, :]
     logits = jnp.where(m, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
@@ -84,6 +94,7 @@ def _navigate_device(
     child_count,
     is_leaf,
     first_level_end,
+    inv_temps,  # (n_levels,) f32 per-level inverse nav temperature
     *,
     cap: int,
     policy: str,
@@ -104,8 +115,8 @@ def _navigate_device(
     )
 
     level_probs = [
-        _masked_level_probs(p, m, queries)
-        for p, m in zip(level_params, level_masks)
+        _masked_level_probs(p, m, queries, inv_temps[i])
+        for i, (p, m) in enumerate(zip(level_params, level_masks))
     ]
     if len(level_probs) == 1:
         return single_level_order_device(
@@ -344,6 +355,7 @@ class LearnedIndex(Logger):
         n_buckets: int,
         policy: str = "best_first",
         keep_on_device: bool = False,
+        nav_temp=None,
     ) -> Tuple[np.ndarray, float]:
         """Phase A: per-query bucket visit order
         (cf. ``_precompute_bucket_order``, ``LearnedIndex.py:164-252``).
@@ -352,10 +364,32 @@ class LearnedIndex(Logger):
         inference seconds).  ``keep_on_device`` returns the order as a
         DEVICE array without the host readback (a ~33 ms relay round
         trip) — the zero-sync scan path consumes it directly.
+
+        ``nav_temp``: navigation softmax temperature — a scalar, or a
+        per-level sequence (e.g. ``(2.0, 1.0)`` flattens only level 1).
+        Ranking-neutral for single-level trees; for multi-level JOINT
+        ranking it counteracts per-level overconfidence (see
+        ``_masked_level_probs``).  Default 1.0 = untempered softmax,
+        the reference's distribution (``model.py:226-241``).
         """
         s = time.perf_counter()
         if policy not in ("best_first", "joint"):
             raise ValueError(f"Unknown navigation policy: {policy}")
+        if nav_temp is None:
+            nav_temp = 1.0
+        temps = (
+            [float(nav_temp)] * len(self.levels)
+            if np.isscalar(nav_temp)
+            else [float(t) for t in nav_temp]
+        )
+        if len(temps) != len(self.levels):
+            raise ValueError(
+                f"nav_temp has {len(temps)} entries for "
+                f"{len(self.levels)} levels"
+            )
+        inv_temps = np.asarray(
+            [1.0 / t for t in temps], dtype=np.float32
+        )
         # multi-process index (params span processes): queries and the
         # layout constants must be placed as replicated global arrays
         leaf0 = jax.tree.leaves(self.levels[0].params)[0]
@@ -432,6 +466,7 @@ class LearnedIndex(Logger):
             _repl(layout.is_leaf),
             _repl(np.int32(layout.offsets[1])) if multi
             else jnp.int32(layout.offsets[1]),
+            _repl(inv_temps),
         )
         nav_kwargs = dict(
             cap=cap, policy=policy, layout_key=layout.offsets,
@@ -486,6 +521,7 @@ class LearnedIndex(Logger):
         precision: str = "default",
         rerank: bool = True,
         qtile: int = 128,
+        nav_temp=None,
     ):
         """Search ``k`` nearest neighbors in the ``n_buckets`` most
         probable buckets per query (cf. ``LearnedIndex.search``,
@@ -614,7 +650,7 @@ class LearnedIndex(Logger):
         ):
             order_dev, measured["inference"] = self.compute_bucket_order(
                 queries_navigation, n_buckets, policy=policy,
-                keep_on_device=True,
+                keep_on_device=True, nav_temp=nav_temp,
             )
             if isinstance(order_dev, np.ndarray):  # sliced-nav path
                 order_dev = jnp.asarray(order_dev.astype(np.int32))
@@ -642,7 +678,8 @@ class LearnedIndex(Logger):
 
         if order is None:
             order, measured["inference"] = self.compute_bucket_order(
-                queries_navigation, n_buckets, policy=policy
+                queries_navigation, n_buckets, policy=policy,
+                nav_temp=nav_temp,
             )
 
         s_scan = time.perf_counter()

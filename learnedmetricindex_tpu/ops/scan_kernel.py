@@ -116,11 +116,16 @@ def _kernel(
     #          maps to the item's OWN tile on first-chunk items (which
     #          cache it) and to the group's first tile otherwise (so
     #          consecutive non-first items never re-fetch)
-    qidx_ref,  # (n_tiles, qtile) int32 — FULL array in VMEM
     qscale_ref,  # (n_tiles, qtile) f32 — per-query dequant scales
     #              (ones unless compute_dtype is int8); FULL in VMEM
     slab_ref,  # (chunk, d) store dtype
-    scales_ref,  # (chunk,) f32 (0.0 marks padding slots)
+    nscale_ref,  # (chunk,) f32: NEGATED dequant scale per slot
+    obias_ref,  # (chunk,) f32: 1.0 on valid slots, +inf on padding —
+    #             dists = raw·nscale (+·qscale) + obias materializes
+    #             dequant, the 1−sim distance AND the padding-slot mask
+    #             in two (three for int8) elementwise sweeps; the old
+    #             mul / 1−sims / mask-or / select chain was ~4-6 (the
+    #             kernel is VPU-sweep bound, PERFORMANCE.md roofline)
     # outputs (written once per pair, at its last-chunk item; non-last
     # items map to the dummy row, which absorbs the stale flushes)
     out_d_ref,  # (1, qtile, kpad) f32
@@ -171,8 +176,7 @@ def _kernel(
         # lanes.  Lane-dimension min/argmin over a 2k-wide matrix makes
         # Mosaic's register allocator spill ~130 MB; the same reductions
         # over the sublane dimension are native (measured: 0.7 s vs OOM).
-        tile = jnp.minimum(pair, qidx_ref.shape[0] - 1)
-        qi = qidx_ref[tile, :]  # (qtile,)
+        tile = jnp.minimum(pair, qscale_ref.shape[0] - 1)
         qv_cached = qcache_ref[cache_rows, :]  # (qtile, d)
         if compute_dtype == jnp.int8:
             # int8×int8→int32 on the MXU: 2× the bf16 throughput and no
@@ -202,23 +206,23 @@ def _kernel(
                 ),
             )  # (chunk, qtile)
         chunk = sims.shape[0]
-        # scales arrive as a 1-D block — 1-D HBM arrays keep the compact
-        # T(1024) layout (a (n_slots, 1) column array would be tile-padded
-        # 128×: 4.9 GB at 10M slots)
-        scales = scales_ref[:].reshape(chunk, 1)
-        sims = sims * scales
+        # Distance + dequant + padding mask as ONE multiply-add chain:
+        # dists = raw · (−scale) (· qscale) + obias, with obias = +inf
+        # on padding slots.  Bitwise-identical to the former
+        # 1 − raw·scale then mask-select (sign flip and x+1 round the
+        # same as 1−x).  Per-lane invalidity needs NO mask at all:
+        # padding query lanes (qidx −1) produce garbage confined to
+        # their lane, and the merge's per-(query, visit) row gather
+        # (``_merge_pairs_dense``) only ever reads REAL queries' rows;
+        # padding WORK items are already excluded by the is_valid gate
+        # around this body.  (Scales/bias arrive as 1-D blocks — 1-D
+        # HBM arrays keep the compact T(1024) layout; a column array
+        # would be tile-padded 128×: 4.9 GB at 10M slots.)
+        nscale = nscale_ref[:].reshape(chunk, 1)
+        dists = sims * nscale
         if compute_dtype == jnp.int8:
-            sims = sims * qscale_ref[tile, :][None, :]
-        # ONE select for all invalidity sources (padding slots, padding
-        # query lanes, padding work items): the kernel body is VPU-sweep
-        # bound (PERFORMANCE.md "Known headroom"), so three separate
-        # full-matrix selects were three sweeps where one suffices — the
-        # (chunk, 1) | (1, qtile) | scalar mask broadcasts in the same op
-        bad = jnp.logical_or(
-            jnp.logical_or(scales == 0.0, (qi < 0)[None, :]),
-            jnp.logical_not(is_valid),
-        )
-        dists = jnp.where(bad, jnp.inf, 1.0 - sims)
+            dists = dists * qscale_ref[tile, :][None, :]
+        dists = dists + obias_ref[:].reshape(chunk, 1)
 
         row = jax.lax.broadcasted_iota(jnp.int32, (chunk, qtile), dimension=0)
         put_row = jax.lax.broadcasted_iota(jnp.int32, (kpad, qtile), dimension=0)
@@ -285,18 +289,24 @@ def _kernel(
             # (Distinct from the round-2 "skip chunk if no lane can
             # insert" gate, which never fired because SOME lane of 128
             # nearly always inserts; here the trip count itself shrinks.)
-            d_ref[:] = dists
             acck = jnp.where(put_row < k, acc_d_ref[acc_rows, :], -jnp.inf)
             tau = jnp.max(acck, axis=0)  # (qtile,) current k-th best
             cnt = jnp.sum((dists < tau[None, :]).astype(jnp.int32), axis=0)
             trips = jnp.minimum(jnp.max(cnt), k)
-            mprev_ref[:] = jnp.full((8, qtile), -jnp.inf, jnp.float32)
-            rprev_ref[:] = jnp.full((8, qtile), -1, jnp.int32)
-            jax.lax.while_loop(
-                lambda j: j < trips,
-                lambda j: (extract_next(None), j + 1)[1],
-                jnp.int32(0),
-            )
+
+            # zero-trip chunks (no element beats any lane's current
+            # k-th best — common once tau is tight) skip the workspace
+            # store AND the cursor init: one fewer full-matrix sweep
+            @pl.when(trips > 0)
+            def _():
+                d_ref[:] = dists
+                mprev_ref[:] = jnp.full((8, qtile), -jnp.inf, jnp.float32)
+                rprev_ref[:] = jnp.full((8, qtile), -1, jnp.int32)
+                jax.lax.while_loop(
+                    lambda j: j < trips,
+                    lambda j: (extract_next(None), j + 1)[1],
+                    jnp.int32(0),
+                )
 
     @pl.when(is_last)
     def _():
@@ -314,7 +324,6 @@ def _kernel(
 )
 def pallas_scan_pairs(
     work_queries: jnp.ndarray,  # (QP, d) f32 — int8 for compute="int8"
-    qidx2d: jnp.ndarray,  # (QP // qtile, qtile) int32
     item_meta: jnp.ndarray,  # (W,) int32 packed: pair<<6 | t<<2 |
     #                first<<1 | last (padding items: n_pairs<<6)
     item_chunk: jnp.ndarray,  # (W,) int32
@@ -356,10 +365,16 @@ def pallas_scan_pairs(
     compute_dtype = {
         "bf16": jnp.bfloat16, "f32": jnp.float32, "int8": jnp.int8,
     }[compute]
+    qtile_n = work_queries.shape[0] // qtile
     if query_scales2d is None:
-        query_scales2d = jnp.ones(qidx2d.shape, jnp.float32)
+        query_scales2d = jnp.ones((qtile_n, qtile), jnp.float32)
 
-    n_tiles = qidx2d.shape[0]
+    n_tiles = query_scales2d.shape[0]
+    # Fold dequant sign and the padding-slot mask into the per-slot
+    # columns ONCE per dispatch (two cheap elementwise passes over the
+    # flat scales; the kernel then needs no select sweep — see _kernel)
+    nscale_flat = -chunk_scales_flat
+    obias_flat = jnp.where(chunk_scales_flat == 0.0, jnp.inf, 1.0)
 
     def qv_index(i, im, ic, wr):
         # first-chunk items fetch their OWN tile (and cache it); later
@@ -390,9 +405,9 @@ def pallas_scan_pairs(
         grid=(W,),
         in_specs=[
             pl.BlockSpec((qtile, d), qv_index),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # full qidx2d
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full query scales
             pl.BlockSpec((chunk, d), lambda i, im, ic, wr: (ic[i], 0)),
+            pl.BlockSpec((chunk,), lambda i, im, ic, wr: (ic[i],)),
             pl.BlockSpec((chunk,), lambda i, im, ic, wr: (ic[i],)),
         ],
         out_specs=[
@@ -428,7 +443,7 @@ def pallas_scan_pairs(
         interpret=interpret,
         **kwargs,
     )(item_meta, item_chunk, w_real,
-      work_queries, qidx2d, query_scales2d, chunk_data, chunk_scales_flat)
+      work_queries, query_scales2d, chunk_data, nscale_flat, obias_flat)
     return cand_d[:, :, :k], cand_i[:, :, :k]
 
 

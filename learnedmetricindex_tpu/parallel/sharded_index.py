@@ -527,7 +527,6 @@ def _run_sharded(
             )
             cand_d, cand_slot = pallas_scan_pairs(
                 wq,
-                qidx.reshape(n_pairs, qtile),
                 ipair,
                 ic,
                 wr,

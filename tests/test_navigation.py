@@ -284,3 +284,80 @@ def test_frontier_widths_identical_orders(monkeypatch):
             got = best_first_order(layout, entry, n_buckets)
             np.testing.assert_array_equal(got, serial)
     monkeypatch.delenv("LMI_NAV_FRONTIER")
+
+
+def _tiny_two_level_index(cats=(6, 5), d=8, seed=3):
+    import jax
+
+    import learnedmetricindex_tpu as lmi
+    from learnedmetricindex_tpu.index.index import LearnedIndex, LevelModels
+    from learnedmetricindex_tpu.models.mlp import init_stacked_mlp
+
+    key = jax.random.PRNGKey(seed)
+    levels = [
+        LevelModels(
+            params=init_stacked_mlp(key, 1, "MLP-2", d, cats[0]),
+            class_mask=np.ones((1, cats[0]), bool),
+            model_type="MLP-2",
+        ),
+        LevelModels(
+            params=init_stacked_mlp(jax.random.fold_in(key, 1), cats[0],
+                                    "MLP-2", d, cats[1]),
+            class_mask=np.ones((cats[0], cats[1]), bool),
+            model_type="MLP-2",
+        ),
+    ]
+    cfg = lmi.BuildConfiguration("kmeans", 1, "MLP-2", 0.01, list(cats))
+    return LearnedIndex(
+        levels=levels,
+        layout=TreeLayout.create(cats),
+        config=cfg,
+        leaf_valid=np.ones(cats[0] * cats[1], bool),
+    )
+
+
+def test_nav_temp_default_is_identity():
+    """nav_temp=1.0 (scalar or per-level) must be bitwise the untempered
+    order for BOTH policies; a single-level tree is ranking-invariant to
+    ANY temperature (softmax is monotone in the logits)."""
+    index = _tiny_two_level_index()
+    rng = np.random.default_rng(5)
+    queries = rng.normal(size=(40, 8)).astype(np.float32)
+    for policy in ("best_first", "joint"):
+        base, _ = index.compute_bucket_order(queries, 7, policy=policy)
+        for t in (1.0, [1.0, 1.0]):
+            got, _ = index.compute_bucket_order(
+                queries, 7, policy=policy, nav_temp=t
+            )
+            np.testing.assert_array_equal(got, base)
+
+
+def test_nav_temp_flattens_level_one_branching():
+    """A high level-1 temperature must increase how many distinct
+    level-1 branches the joint top-k spans (the anti-overconfidence
+    knob: sweep_ep824's collapse is top-10 lists stuck in one branch)."""
+    index = _tiny_two_level_index(seed=11)
+    rng = np.random.default_rng(7)
+    queries = rng.normal(size=(64, 8)).astype(np.float32)
+    C2 = index.layout.n_categories[1]
+
+    def mean_branches(order):
+        b = np.asarray(order) // C2
+        return np.mean([len(np.unique(r[r >= 0])) for r in b])
+
+    sharp, _ = index.compute_bucket_order(
+        queries, 10, policy="joint", nav_temp=[0.25, 1.0]
+    )
+    flat, _ = index.compute_bucket_order(
+        queries, 10, policy="joint", nav_temp=[8.0, 1.0]
+    )
+    assert mean_branches(flat) > mean_branches(sharp)
+
+
+def test_nav_temp_validation():
+    import pytest
+
+    index = _tiny_two_level_index()
+    q = np.zeros((3, 8), np.float32)
+    with pytest.raises(ValueError, match="nav_temp"):
+        index.compute_bucket_order(q, 4, nav_temp=[1.0, 1.0, 1.0])

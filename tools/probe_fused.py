@@ -150,7 +150,7 @@ for chunk in CHUNKS:
     # (a) kernel only
     def kern():
         return pallas_scan_pairs(
-            wq_q, qidx_dev.reshape(n_pairs, qtile), meta_dev, chunk_dev,
+            wq_q, meta_dev, chunk_dev,
             wr_dev, store.chunk_data, store.chunk_scales, qsc2,
             k=k_scan, qtile=qtile, chunk=chunk, n_pairs=n_pairs,
             compute="int8", gate="count",
