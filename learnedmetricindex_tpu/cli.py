@@ -75,6 +75,7 @@ def run(
     synthetic: int = 0,
     synthetic_dim: int = 96,
     policy: str = "best_first",
+    nav_temp=None,
     seed: int = 2023,
     chunk_size: int = 1024,
     dtype: str = "float32",
@@ -199,6 +200,7 @@ def run(
             n_buckets=bucket,
             k=k,
             policy=policy,
+            nav_temp=nav_temp,
             store=shared_store,
         )
         for key_t in ("inference", "search", "search_within_buckets",
@@ -263,6 +265,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--synthetic", type=int, default=0, metavar="N",
                         help="run offline on N synthetic clustered vectors")
     parser.add_argument("--synthetic-dim", type=int, default=96)
+    parser.add_argument("--nav-temp", default=None,
+                        help="navigation softmax temperature: scalar or "
+                             "per-level comma list (e.g. '1,4'); "
+                             "counteracts per-level overconfidence in "
+                             "multi-level joint ranking")
     parser.add_argument("--policy", default="best_first",
                         choices=["best_first", "joint"])
     parser.add_argument("--seed", type=int, default=2023)
@@ -325,6 +332,9 @@ def main(argv=None):
         synthetic=args.synthetic,
         synthetic_dim=args.synthetic_dim,
         policy=args.policy,
+        nav_temp=(None if args.nav_temp is None else
+                  (lambda ts: ts[0] if len(ts) == 1 else ts)(
+                      [float(t) for t in str(args.nav_temp).split(",")])),
         seed=args.seed,
         download=args.download,
         data_dir=args.data_dir,

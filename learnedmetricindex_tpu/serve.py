@@ -101,6 +101,7 @@ class SearchServer(Logger):
         k: int = 10,
         n_buckets: int = 4,
         policy: str = "best_first",
+        nav_temp=None,
         precision: str = "default",
         rerank: bool = True,
         rerank_margin: int = 6,
@@ -138,6 +139,7 @@ class SearchServer(Logger):
         self.k = int(k)
         self.n_buckets = int(n_buckets)
         self.policy = policy
+        self.nav_temp = nav_temp
         self.precision = precision
         self.rerank = rerank
         self.rerank_margin = int(rerank_margin)
@@ -332,6 +334,7 @@ class SearchServer(Logger):
                     "k": self.k,
                     "n_buckets": self.n_buckets,
                     "policy": self.policy,
+                    "nav_temp": self.nav_temp,
                     "precision": self.precision,
                     "rerank": self.rerank,
                     "max_batch": self.max_batch,
@@ -370,6 +373,7 @@ class SearchServer(Logger):
             n_buckets=self.n_buckets,
             k=self.k,
             policy=self.policy,
+            nav_temp=self.nav_temp,
             precision=self.precision,
             rerank=self.rerank,
             rerank_margin=self.rerank_margin,
@@ -558,6 +562,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                    help="buckets visited per query")
     p.add_argument("--policy", default="best_first",
                    choices=["best_first", "joint"])
+    p.add_argument("--nav-temp", default=None,
+                   help="navigation softmax temperature: scalar or "
+                        "per-level comma list (e.g. '1,4')")
     p.add_argument("--precision", default="default",
                    choices=["default", "highest", "int8"])
     p.add_argument("--no-rerank", action="store_true")
@@ -612,6 +619,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     knobs = dict(
         k=args.k, n_buckets=args.n_buckets, policy=args.policy,
+        nav_temp=(None if args.nav_temp is None else
+                  (lambda ts: ts[0] if len(ts) == 1 else ts)(
+                      [float(t) for t in str(args.nav_temp).split(",")])),
         precision=args.precision, rerank=not args.no_rerank,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
     )

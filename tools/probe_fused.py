@@ -112,11 +112,17 @@ def build_store(chunk):
 
 
 def med(fn, reps=5):
+    """Median wall time with a FORCED VALUE READBACK per rep —
+    block_until_ready alone is a free async enqueue on the axon relay
+    (PERFORMANCE.md round-5 retraction), so each timed region ends by
+    reducing the first output leaf to a host float."""
     fn()  # compile
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        r = fn()
+        leaf = jax.tree.leaves(r)[0]
+        float(jnp.sum(leaf.astype(jnp.float32)))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
