@@ -692,48 +692,100 @@ def run_bench(args):
 
     serving = None
     if args.serving:
-        # variable-size random batches: each new (size, navigation
-        # outcome) pair would re-jit without the sticky shape hints
-        s_rng = np.random.default_rng(7)
-        lat = []
-        compiles_per_batch = []
-        for b in range(args.serving):
-            q_n = int(s_rng.integers(int(args.queries * 0.8),
-                                     args.queries + 1))
-            sel = s_rng.choice(args.queries, size=q_n, replace=False)
-            batch = queries[np.sort(sel)]
-            t0 = time.perf_counter()
-            with CompileCounter() as cc:
-                index.search(
-                    None, batch, None, batch, pred, None,
-                    n_buckets=args.visit, k=10, approx_recall=approx,
-                    store=store, rerank_margin=args.rerank_margin,
-                    precision=precision, rerank=rerank,
-                )
-            lat.append(time.perf_counter() - t0)
-            compiles_per_batch.append(cc.n)
-        lat_a = np.array(lat)
-        serving = {
-            "batches": args.serving,
-            "batch_size_range": [int(args.queries * 0.8), args.queries],
-            "p50_s": round(float(np.percentile(lat_a, 50)), 4),
-            "p95_s": round(float(np.percentile(lat_a, 95)), 4),
-            "max_s": round(float(lat_a.max()), 4),
-            "slow_batches_over_3x_p50": int(
-                (lat_a > 3 * np.percentile(lat_a, 50)).sum()
-            ),
-            # no-re-jit evidence: XLA compile requests per batch — the
-            # first odd-sized batch may compile the sticky envelope
-            # once; steady state must be zero
-            "compiles_first_batch": compiles_per_batch[0],
-            "compiles_after_first": int(sum(compiles_per_batch[1:])),
-        }
-        log(f"  serving: {args.serving} variable-size batches "
-            f"p50={serving['p50_s']}s p95={serving['p95_s']}s "
-            f"max={serving['max_s']}s "
-            f"(>3x p50: {serving['slow_batches_over_3x_p50']}, "
+        # Two realistic serving frontends, both of which must be
+        # compile-free at steady state:
+        #
+        # (a) HOST batches — queries arrive from clients as host
+        #     arrays (the serve.py dispatcher path).  Variable batch
+        #     sizes ride index.search's sticky ⅛-octave query padding;
+        #     the latency includes the per-batch host→device query
+        #     upload (~30 MB at the flagship shape — milliseconds on
+        #     local PCIe, the dominant term through this ~20-50 MB/s
+        #     relay).  Warmed once at the full batch size so the
+        #     sticky cap is seeded, as a production server does.
+        #
+        # (b) DEVICE-resident batches — a colocated embedding model
+        #     produces queries on-device (zero upload).  Device-array
+        #     callers manage their own shapes (index.search docstring),
+        #     so the probe pads each batch's INDEX vector to the fixed
+        #     frontend cap and gathers on device: one compiled shape,
+        #     no query movement.  (A naïve device slice of the raw
+        #     batch size recompiles navigation + scan per novel size —
+        #     measured ~15 s/batch through the remote compile service;
+        #     that anti-pattern is exactly what this probe guards.)
+        def _probe(make_batch, n_batches, seed):
+            rng = np.random.default_rng(seed)
+            lat, compiles = [], []
+            for _ in range(n_batches):
+                q_n = int(rng.integers(int(args.queries * 0.8),
+                                       args.queries + 1))
+                sel = np.sort(rng.choice(args.queries, size=q_n,
+                                         replace=False))
+                batch = make_batch(sel)
+                t0 = time.perf_counter()
+                with CompileCounter() as cc:
+                    index.search(
+                        None, batch, None, batch, pred, None,
+                        n_buckets=args.visit, k=10, approx_recall=approx,
+                        store=store, rerank_margin=args.rerank_margin,
+                        precision=precision, rerank=rerank,
+                    )
+                lat.append(time.perf_counter() - t0)
+                compiles.append(cc.n)
+            lat_a = np.array(lat)
+            return {
+                "batches": n_batches,
+                "batch_size_range": [int(args.queries * 0.8),
+                                     args.queries],
+                "p50_s": round(float(np.percentile(lat_a, 50)), 4),
+                "p95_s": round(float(np.percentile(lat_a, 95)), 4),
+                "max_s": round(float(lat_a.max()), 4),
+                "slow_batches_over_3x_p50": int(
+                    (lat_a > 3 * np.percentile(lat_a, 50)).sum()
+                ),
+                # no-re-jit evidence: XLA compile requests per batch —
+                # steady state must be zero
+                "compiles_first_batch": compiles[0],
+                "compiles_after_first": int(sum(compiles[1:])),
+            }
+
+        queries_np = np.asarray(queries, dtype=np.float32)
+        # seed the sticky query cap at the full batch size (warm the
+        # server at max batch, standard deployment discipline)
+        with CompileCounter() as cc_w:
+            index.search(
+                None, queries_np, None, queries_np, pred, None,
+                n_buckets=args.visit, k=10, approx_recall=approx,
+                store=store, rerank_margin=args.rerank_margin,
+                precision=precision, rerank=rerank,
+            )
+        serving = {"warmup_compiles": cc_w.n}
+        serving["host"] = _probe(lambda sel: queries_np[sel],
+                                 args.serving, 7)
+        log(f"  serving/host: {args.serving} variable-size batches "
+            f"p50={serving['host']['p50_s']}s "
+            f"p95={serving['host']['p95_s']}s "
+            f"max={serving['host']['max_s']}s "
+            f"(>3x p50: {serving['host']['slow_batches_over_3x_p50']}, "
             f"compiles after first batch: "
-            f"{serving['compiles_after_first']})")
+            f"{serving['host']['compiles_after_first']})")
+
+        cap = args.queries
+
+        def _device_batch(sel):
+            pad = np.concatenate(
+                [sel, np.full(cap - len(sel), sel[0], sel.dtype)]
+            )
+            return queries[pad]  # device gather, fixed (cap, d) shape
+
+        serving["device_fixed_cap"] = _probe(_device_batch,
+                                             args.serving, 8)
+        log(f"  serving/device (fixed cap {cap}): "
+            f"p50={serving['device_fixed_cap']['p50_s']}s "
+            f"p95={serving['device_fixed_cap']['p95_s']}s "
+            f"max={serving['device_fixed_cap']['max_s']}s "
+            f"(compiles after first batch: "
+            f"{serving['device_fixed_cap']['compiles_after_first']})")
 
     if args.serving and args.serving_churn:
         # the same variable-size batches, now against a mutating
@@ -763,8 +815,12 @@ def run_bench(args):
             mut_c.append(time.perf_counter() - t0)
             q_n = int(c_rng.integers(int(args.queries * 0.8),
                                      args.queries + 1))
-            sel = c_rng.choice(args.queries, size=q_n, replace=False)
-            batch = queries[np.sort(sel)]
+            sel = np.sort(c_rng.choice(args.queries, size=q_n,
+                                       replace=False))
+            # host batches (the serve.py dispatcher path — see the
+            # serving probe above for why a raw device slice is the
+            # recompile-per-size anti-pattern)
+            batch = queries_np[sel]
             t0 = time.perf_counter()
             with CompileCounter() as cc:
                 index.search(
@@ -855,8 +911,9 @@ def run_bench(args):
                 mut_s.append(time.perf_counter() - t0)
                 q_n = int(c_rng.integers(int(args.queries * 0.8),
                                          args.queries + 1))
-                sel = c_rng.choice(args.queries, size=q_n, replace=False)
-                batch = queries[np.sort(sel)]
+                sel = np.sort(c_rng.choice(args.queries, size=q_n,
+                                           replace=False))
+                batch = queries_np[sel]
                 t0 = time.perf_counter()
                 sdyn.search(batch, n_buckets=args.visit, k=10,
                             rerank_margin=args.rerank_margin,
