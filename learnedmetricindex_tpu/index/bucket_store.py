@@ -236,11 +236,24 @@ class BucketStore(NamedTuple):
             row_scales_np,
         )
 
-        row_scales = row_scales_np(data)
+        # BLOCK-WISE host packing: one-shot fancy indexing + quantize
+        # materializes ~3 extra f32 corpus copies (gather copy, divide
+        # temp, abs temp) — ~120 GB transient at 10M×768, which
+        # OOM-killed the staged 2-level rehearsal on a 125 GB host.
+        # Blocked, the transient is ~3 × BLOCK×d f32 ≈ 9 GB and the
+        # resident peak stays ≈ corpus + int8 store.
+        BLOCK = 1_000_000
+        row_scales = np.empty(n, dtype=np.float32)
+        for s in range(0, n, BLOCK):
+            row_scales[s:s + BLOCK] = row_scales_np(data[s:s + BLOCK])
         flat = np.zeros((padded, d), dtype=np.int8)
-        flat[valid] = quantize_with_scales_np(
-            data[slot_rows[valid]], row_scales[slot_rows[valid]]
-        )
+        valid_idx = np.nonzero(valid)[0]
+        for s in range(0, len(valid_idx), BLOCK):
+            vi = valid_idx[s:s + BLOCK]
+            rows = slot_rows[vi]
+            flat[vi] = quantize_with_scales_np(
+                data[rows], row_scales[rows]
+            )
         slot_scales = np.zeros(padded, dtype=np.float32)
         slot_scales[valid] = row_scales[slot_rows[valid]]
         ids = np.zeros(padded, dtype=np.int32)

@@ -41,6 +41,15 @@ os.makedirs(out_dir, exist_ok=True)
 rng = np.random.default_rng(2023)
 centers = rng.normal(size=(CLUSTERS, D)).astype(np.float32)
 centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+# per-dimension noise scale: a raw N(0, NOISE^2) perturbation in D
+# dims has norm NOISE*sqrt(D) (~12.5 at D=768), which drowns the
+# unit-norm centers and makes the data isotropic — unlearnable by
+# construction.  Dividing by sqrt(D) gives noise-vector norm ≈ NOISE
+# relative to the unit centers, matching bench.py's RowGenerator
+# (the first staged rehearsal ran WITHOUT this scaling; its recall
+# floor was the isotropic regime, not a pipeline fault — the
+# oracle-navigation ceiling in the artifact shows the same collapse)
+NOISE_PER_DIM = NOISE / np.sqrt(D)
 
 t0 = time.time()
 with h5py.File(os.path.join(out_dir, "dataset.h5"), "w") as f:
@@ -51,7 +60,7 @@ with h5py.File(os.path.join(out_dir, "dataset.h5"), "w") as f:
         c = rng.integers(0, CLUSTERS, e - s)
         x = centers[c] + rng.normal(size=(e - s, D)).astype(
             np.float32
-        ) * NOISE
+        ) * NOISE_PER_DIM
         x /= np.linalg.norm(x, axis=1, keepdims=True)
         ds[s:e] = x
         print(f"  dataset rows {e}/{N} ({time.time()-t0:.0f}s)",
@@ -59,7 +68,9 @@ with h5py.File(os.path.join(out_dir, "dataset.h5"), "w") as f:
 
 with h5py.File(os.path.join(out_dir, "query.h5"), "w") as f:
     c = rng.integers(0, CLUSTERS, Q)
-    x = centers[c] + rng.normal(size=(Q, D)).astype(np.float32) * NOISE
+    x = centers[c] + rng.normal(
+        size=(Q, D)
+    ).astype(np.float32) * NOISE_PER_DIM
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     f.create_dataset(key, data=x)
 
